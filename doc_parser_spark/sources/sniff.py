@@ -1,0 +1,74 @@
+"""Content-type sniffing (S1) — vectorized port of the reference's probes.
+
+The reference sniffs format from content (/root/reference/docling/datamodel/
+document.py:306-506): HTML via a regex probe on the (comment-stripped,
+lowercased) head (_detect_html_xhtml, document.py:440-477). We add the
+``%PDF`` magic (mime-by-magic analog) and our %PDF-SIM cell-dump marker, and
+classify whitespace-only payloads as ``empty``.
+
+``sniff_series`` is the vectorized form used inside Arrow batches; it scans
+only the head of each payload so cost is O(rows), not O(bytes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from doc_parser_spark.datamodel import CT_EMPTY, CT_HTML, CT_PDF, CT_PLAIN
+
+HEAD_BYTES = 1024
+
+_COMMENT_RE = re.compile(r"<!--(.*?)-->", re.DOTALL)
+_XML_DECL_RE = re.compile(r"<\?xml")
+_HTML_RE = re.compile(
+    r"(<script.*?>.*?</script>\s*)?(<!doctype\s+html|<html|<head|<body)", re.DOTALL
+)
+# any well-formed opening tag early in the payload also routes to the HTML
+# parser (transcript turns often carry fragments without <html>/<body>)
+_HTML_FRAGMENT_RE = re.compile(
+    r"<(?:h[1-6]|p|div|ul|ol|li|table|pre|span|a|b|i|em|strong|nav|header|"
+    r"footer|article|section|figure|img|br)\b[^>]*>",
+)
+
+
+def sniff_text(text: str | None) -> str:
+    """Classify one payload. Mirrors _detect_html_xhtml + magic bytes."""
+    if text is None or not text.strip():
+        return CT_EMPTY
+    head = text[:HEAD_BYTES]
+    if head.startswith("%PDF"):
+        return CT_PDF
+    content = _COMMENT_RE.sub("", head.lower()).lstrip()
+    if _XML_DECL_RE.match(content) and "xhtml" in content[:1000]:
+        return CT_HTML
+    if _HTML_RE.match(content):
+        return CT_HTML
+    if _HTML_FRAGMENT_RE.search(content):
+        return CT_HTML
+    return CT_PLAIN
+
+
+def sniff_series(texts: pd.Series) -> pd.Series:
+    """Vectorized sniff over a pandas Series of payloads."""
+    head = texts.fillna("").str.slice(0, HEAD_BYTES)
+    stripped = head.str.strip()
+    lowered = head.str.lower().str.replace(_COMMENT_RE, "", regex=True).str.lstrip()
+
+    is_empty = stripped.eq("") | texts.isna()
+    is_pdf = head.str.startswith("%PDF")
+    is_xhtml = lowered.str.match(_XML_DECL_RE) & lowered.str.slice(0, 1000).str.contains(
+        "xhtml", regex=False
+    )
+    is_html = (
+        lowered.str.match(_HTML_RE)
+        | lowered.str.contains(_HTML_FRAGMENT_RE, regex=True)
+        | is_xhtml
+    )
+
+    out = pd.Series(CT_PLAIN, index=texts.index, dtype="object")
+    out[is_html] = CT_HTML
+    out[is_pdf] = CT_PDF
+    out[is_empty] = CT_EMPTY
+    return out
