@@ -1,0 +1,208 @@
+"""The extraction operator — Arrow-batched mapInPandas over transcript turns.
+
+Spark-first design notes (SURVEY.md §3.4):
+
+- routing: a vectorized sniff assigns ``content_type``; the caller
+  repartitions on (content_type, conv_id, turn_idx) before the heavy parse so
+  partitions are content-homogeneous *and* salted — a single whale
+  conversation (10^6 turns) spreads across the cluster instead of pinning one
+  task (north-rule skew requirement). Extraction is per-turn, so no
+  cross-row state is needed and the stage is embarrassingly parallel.
+- per-row reliability: the reference's dual-converter fallback
+  (/root/reference/genon/preprocessor/facade/intelligent_processor.py:1055-1069)
+  becomes a per-row try/except chain inside the batch: primary extractor →
+  plain-text fallback (partial_success) → failure row. A poison document
+  never kills the task.
+- metrics: each output row carries ``_proc_us`` (its share of the batch's
+  wall time) and ``_n_bytes`` so per-partition metrics (docs, bytes,
+  failures, wall) are a pure relational aggregate afterwards — Spark
+  accumulators are lossy under task retries (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from doc_parser_spark.datamodel import (
+    CT_EMPTY,
+    CT_HTML,
+    CT_PDF,
+    CT_PLAIN,
+    EXTRACTED_SCHEMA,
+    STATUS_FAILURE,
+    STATUS_PARTIAL,
+    STATUS_SKIPPED,
+    STATUS_SUCCESS,
+)
+from doc_parser_spark.functions.html_extract import extract_html
+from doc_parser_spark.functions.pdfish_extract import extract_pdfish
+from doc_parser_spark.functions.plain_extract import extract_plain
+from doc_parser_spark.functions.quality import rate_text_quality
+from doc_parser_spark.sources.sniff import sniff_series
+
+# internal metric columns appended to EXTRACTED_SCHEMA by the UDF
+EXTRACT_OUTPUT_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields
+    + [
+        T.StructField("_n_bytes", T.LongType(), False),
+        T.StructField("_proc_us", T.LongType(), False),
+    ]
+)
+
+_EXTRACTORS = {
+    CT_HTML: extract_html,
+    CT_PDF: extract_pdfish,
+    CT_PLAIN: extract_plain,
+}
+
+
+def with_content_type(df: DataFrame) -> DataFrame:
+    """Add the sniffer column (S1). Vectorized pandas UDF over the text head."""
+
+    @F.pandas_udf(T.StringType())
+    def _sniff(texts: pd.Series) -> pd.Series:
+        return sniff_series(texts)
+
+    return df.withColumn("content_type", _sniff(F.col("text")))
+
+
+def _extract_one(content_type: str, text: str, boilerplate_mode: str):
+    """Per-document extraction with the R4-style fallback chain.
+
+    Returns (extracted_text, spans, status).
+    """
+    if content_type == CT_EMPTY:
+        return "", [], STATUS_SKIPPED
+    extractor = _EXTRACTORS.get(content_type, extract_plain)
+    try:
+        if extractor is extract_html:
+            extracted, spans = extract_html(text, boilerplate_mode)
+        else:
+            extracted, spans = extractor(text)
+        return extracted, spans, STATUS_SUCCESS
+    except Exception:
+        try:
+            extracted, spans = extract_plain(text)
+            return extracted, spans, STATUS_PARTIAL
+        except Exception:
+            return None, None, STATUS_FAILURE
+
+
+def _score(extracted: str | None, spans) -> float | None:
+    """Doc parse score = 10th percentile of per-span quality scores
+    (page_preprocessing_model.py:78-85 aggregation)."""
+    if not extracted or not spans:
+        return None
+    scores = [rate_text_quality(extracted[s[0] : s[1]]) for s in spans]
+    return float(np.quantile(scores, 0.10))
+
+
+def make_extract_udf(boilerplate_mode: str = "reference"):
+    """Build the mapInPandas function (iterator form → init-once per task)."""
+
+    def extract_batches(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t0 = time.perf_counter()
+            n = len(pdf)
+            if n == 0:
+                continue
+            texts = pdf["text"]
+            if "content_type" in pdf.columns:
+                ctypes = pdf["content_type"]
+            else:
+                ctypes = sniff_series(texts)
+
+            extracted_l: list = []
+            spans_l: list = []
+            status_l: list = []
+            score_l: list = []
+            for ct, text in zip(ctypes.tolist(), texts.tolist()):
+                extracted, spans, status = _extract_one(
+                    ct, text or "", boilerplate_mode
+                )
+                extracted_l.append(extracted)
+                spans_l.append(
+                    [
+                        {"start": s[0], "end": s[1], "label": s[2], "page": s[3]}
+                        for s in spans
+                    ]
+                    if spans is not None
+                    else None
+                )
+                status_l.append(status)
+                score_l.append(_score(extracted, spans))
+
+            ext = pd.Series(extracted_l, index=pdf.index, dtype="object")
+            n_char = ext.str.len()
+            n_word = ext.str.split().str.len()
+            n_line = ext.str.split("\n").str.len()
+            elapsed_us = int((time.perf_counter() - t0) * 1e6)
+
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"].astype("int32"),
+                    "content_type": ctypes,
+                    "extracted_text": ext,
+                    "spans": spans_l,
+                    "parse_status": status_l,
+                    "parse_score": pd.Series(
+                        score_l, index=pdf.index, dtype="float32"
+                    ),
+                    "n_char": n_char.fillna(0).astype("int32"),
+                    "n_word": n_word.fillna(0).astype("int32"),
+                    "n_line": n_line.fillna(0).astype("int32"),
+                    "_n_bytes": texts.fillna("").str.len().astype("int64"),
+                    "_proc_us": np.int64(elapsed_us // n),
+                }
+            )
+            yield out
+
+    return extract_batches
+
+
+def extract_turns(
+    df: DataFrame,
+    boilerplate_mode: str = "reference",
+    route_partitions: int | None = None,
+    keep_metrics_cols: bool = False,
+) -> DataFrame:
+    """transcripts → extracted rows (EXTRACTED_SCHEMA).
+
+    Sniffs content type, repartitions by (content_type, conv_id, turn_idx) —
+    content-homogeneous + salted against whale conversations — then runs the
+    Arrow-batched extraction.
+    """
+    typed = with_content_type(df)
+    if route_partitions:
+        typed = typed.repartition(
+            route_partitions,
+            F.col("content_type"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+    else:
+        typed = typed.repartition(
+            F.col("content_type"), F.col("conv_id"), F.col("turn_idx")
+        )
+    out = typed.mapInPandas(
+        make_extract_udf(boilerplate_mode), schema=EXTRACT_OUTPUT_SCHEMA
+    )
+    if not keep_metrics_cols:
+        out = out.drop("_n_bytes", "_proc_us")
+    return out
+
+
+def bucket_id(col: str | Column = "conv_id", n_buckets: int = 64) -> Column:
+    """Stable storage-partition id (Iceberg ``bucket(conv_id)`` analog)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")

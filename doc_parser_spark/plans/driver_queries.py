@@ -1,0 +1,622 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle per operator.
+
+Each entry exercises one operator from SURVEY.md §2 over the driver's parquet
+tables (documents / events / embeddings / ...). The Spark side runs the REAL
+extraction kernels (mapInPandas / pandas UDFs / window functions); the oracle
+is plain ANSI SQL DuckDB can run on the same tables. Payload-construction SQL
+fragments are shared verbatim between both sides so the comparison checks the
+operator, not the test harness.
+
+Determinism rules:
+- every float output is round(x, 4) double on both sides;
+- every computed column is aliased identically on both sides;
+- window orderings always include a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from doc_parser_spark.functions.plain_extract import split_paragraphs
+from doc_parser_spark.functions.quality import rate_text_quality
+from doc_parser_spark.functions.sanitize import sanitize_text
+from doc_parser_spark.operators.extract import extract_turns, with_content_type
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in both Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+PAYLOAD_SNIFF = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN '<html><body><h1>T</h1><p>' || text || '</p></body></html>' "
+    "WHEN 1 THEN '%PDF-SIM' || chr(10) || '#page 1 612.0 792.0' || chr(10) "
+    "|| '72.0 100.0 480.0 112.0 ' || text "
+    "WHEN 2 THEN '   ' "
+    "WHEN 3 THEN text "
+    "ELSE '<p>' || text || '</p>' END"
+)
+
+PAYLOAD_HTML = (
+    "'<html><body><nav><p>Site navigation junk</p></nav><h1>Doc ' || doc_id "
+    "|| '</h1><p>' || text || '</p></body></html>'"
+)
+
+# blank-line-separated pseudo-paragraphs: every " the " becomes "\n \n"
+PAYLOAD_PARAS = "replace(text, ' the ', chr(10) || ' ' || chr(10))"
+
+PAYLOAD_QUALITY = (
+    "CASE doc_id % 11 "
+    "WHEN 0 THEN 'GLYPH<1f> ' || text "
+    "WHEN 1 THEN '/G12/G34 ' || text "
+    "WHEN 2 THEN '/w1 /w2 ' || text "
+    "WHEN 3 THEN 'A/bc.de/fg.hi A/bc.de/fg.hi A/bc.de/fg.hi ' || text "
+    "WHEN 4 THEN 'bad � char ' || text "
+    "ELSE text END"
+)
+
+PAYLOAD_UNICODE = "'it’s “' || text || '” • done'"
+
+_FRAG_RE_SQL = r"\b[A-Za-z](?:/[a-z]{1,3}\.[a-z]{1,3}){2,}\b"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S1 — content-type sniff (document.py:306-506)
+# ---------------------------------------------------------------------------
+def q_s1_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("payload", F.expr(PAYLOAD_SNIFF))
+    typed = with_content_type(docs.select(F.col("payload").alias("text")))
+    return (
+        typed.groupBy("content_type")
+        .agg(F.count("*").alias("cnt"))
+        .select("content_type", "cnt")
+    )
+
+
+ORACLE_S1 = f"""
+SELECT content_type, count(*) AS cnt FROM (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' WHEN 2 THEN 'empty'
+    WHEN 3 THEN 'plain' ELSE 'html' END AS content_type
+  FROM documents
+) GROUP BY content_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# S2 — InputDocument hash + size limits (document.py:116-206, utils.py:19-38)
+# ---------------------------------------------------------------------------
+def q_s2_doc_hash_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("n_chars") <= 300)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.sha2(F.col("text"), 256).alias("doc_hash"),
+        )
+    )
+
+
+ORACLE_S2 = """
+SELECT doc_id::BIGINT AS doc_id, sha256(text) AS doc_hash
+FROM documents WHERE n_chars <= 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# B1 — HTML main-content extraction (html_backend.py; boilerplate rule :131-134)
+# ---------------------------------------------------------------------------
+_B1_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("extracted_text", T.StringType()),
+    ]
+)
+
+
+def q_b1_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_HTML).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+ORACLE_B1 = """
+SELECT doc_id::BIGINT AS doc_id,
+       'Doc ' || doc_id || chr(10) || chr(10) || trim(text) AS extracted_text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# B2 — blank-line paragraph segmentation (pymupdf_backend.py:88-121)
+# ---------------------------------------------------------------------------
+_PARA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("para_idx", T.IntegerType()),
+        T.StructField("para", T.StringType()),
+    ]
+)
+
+
+def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PAYLOAD_PARAS).alias("payload")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, para in enumerate(split_paragraphs(payload or ""), 1):
+                    rows.append((int(doc_id), i, para))
+            yield pd.DataFrame(rows, columns=["doc_id", "para_idx", "para"]).astype(
+                {"doc_id": "int64", "para_idx": "int32"}
+            )
+
+    return docs.mapInPandas(gen, schema=_PARA_SCHEMA)
+
+
+def q_b2_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _paragraphs(spark, sf_dir).select(
+        "doc_id", "para_idx", "para", F.length("para").cast("int").alias("n_char")
+    )
+
+
+# the oracle mirrors the flush semantics relationally: split on the exact
+# separator, collapse intra-paragraph line breaks, drop empties, re-index
+ORACLE_B2 = f"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split({PAYLOAD_PARAS}, chr(10) || ' ' || chr(10)))
+           AS part,
+         unnest(range(1, len(string_split({PAYLOAD_PARAS},
+                 chr(10) || ' ' || chr(10))) + 1)) AS pos
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(part, '[ \t]*\n[ \t]*', ' ', 'g')) AS para
+  FROM parts
+)
+SELECT doc_id::BIGINT AS doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY pos)::INT AS para_idx,
+       para,
+       length(para)::INT AS n_char
+FROM cleaned WHERE para <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1 — text-quality scoring (page_preprocessing_model.py:116-141)
+# ---------------------------------------------------------------------------
+def q_p1_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PAYLOAD_QUALITY).alias("payload")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _rate(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(rate_text_quality)
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(_rate("payload"), 4).alias("quality"),
+    )
+
+
+ORACLE_P1 = f"""
+WITH payloads AS (
+  SELECT doc_id, {PAYLOAD_QUALITY} AS payload FROM documents
+), scored AS (
+  SELECT doc_id, payload,
+         len(regexp_extract_all(payload, '{_FRAG_RE_SQL}')) AS frag
+  FROM payloads
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(CASE
+         WHEN payload LIKE '%' || chr(65533) || '%' THEN 0.0
+         WHEN regexp_matches(payload, 'GLYPH<[0-9A-Fa-f]+>') THEN 0.0
+         WHEN regexp_matches(payload, '(?:/G[0-9]+){{2,}}') THEN 0.0
+         WHEN regexp_matches(payload, '^(?:/\\w+\\s*){{2,}}') THEN 0.0
+         WHEN frag >= 3 THEN greatest(1.0 - 0.1 * frag, 0.0)
+         ELSE 1.0 END, 4) AS quality
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6 — text sanitization (page_assemble_model.py:34-65)
+# ---------------------------------------------------------------------------
+def q_p6_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PAYLOAD_UNICODE).alias("payload")
+    )
+
+    @F.pandas_udf(T.StringType())
+    def _san(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: sanitize_text([t]))
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _san("payload").alias("sanitized"),
+    )
+
+
+ORACLE_P6 = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       trim(replace(replace(replace(replace(replace(replace(
+         {PAYLOAD_UNICODE},
+         '⁄', '/'), '’', ''''), '‘', ''''),
+         '“', '"'), '”', '"'), '•', '·')) AS sanitized
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 — compose_vectors projection + chunk indices
+# (src/preprocessor.py:266-338, facade/intelligent_processor.py:1222-1304)
+# ---------------------------------------------------------------------------
+def q_o1_compose_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paras = _paragraphs(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("para_idx")
+    wc = Window.partitionBy("doc_id")
+    return paras.select(
+        "doc_id",
+        F.col("para").alias("text"),
+        F.length("para").cast("int").alias("n_char"),
+        F.size(F.split(F.col("para"), " ")).cast("int").alias("n_word"),
+        (F.row_number().over(w) - 1).cast("int").alias("i_chunk_on_doc"),
+        F.count("*").over(wc).cast("int").alias("n_chunk_of_doc"),
+    )
+
+
+ORACLE_O1 = f"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split({PAYLOAD_PARAS}, chr(10) || ' ' || chr(10)))
+           AS part,
+         unnest(range(1, len(string_split({PAYLOAD_PARAS},
+                 chr(10) || ' ' || chr(10))) + 1)) AS pos
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(part, '[ \t]*\n[ \t]*', ' ', 'g')) AS para
+  FROM parts
+), paras AS (
+  SELECT doc_id, para,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS para_idx
+  FROM cleaned WHERE para <> ''
+)
+SELECT doc_id::BIGINT AS doc_id,
+       para AS text,
+       length(para)::INT AS n_char,
+       len(string_split(para, ' '))::INT AS n_word,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY para_idx) - 1)::INT
+         AS i_chunk_on_doc,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS n_chunk_of_doc
+FROM paras
+"""
+
+
+# ---------------------------------------------------------------------------
+# O6 — confidence aggregation + grade binning
+# (standard_pdf_pipeline.py:290-319, base_models.py:370-457)
+# ---------------------------------------------------------------------------
+def q_o6_confidence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_p1_text_quality(spark, sf_dir).join(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "lang"),
+        "doc_id",
+    )
+    agg = scored.groupBy("lang").agg(
+        F.round(F.avg("quality"), 4).alias("avg_score"),
+        F.round(F.expr("percentile(quality, 0.1)"), 4).alias("p10_score"),
+        F.count("*").alias("n_docs"),
+    )
+    return agg.select(
+        "lang",
+        "avg_score",
+        "p10_score",
+        F.when(F.col("avg_score") >= 0.9, "excellent")
+        .when(F.col("avg_score") >= 0.8, "good")
+        .when(F.col("avg_score") >= 0.5, "fair")
+        .otherwise("poor")
+        .alias("grade"),
+        "n_docs",
+    )
+
+
+ORACLE_O6 = f"""
+WITH payloads AS (
+  SELECT doc_id, lang, {PAYLOAD_QUALITY} AS payload FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         round(CASE
+           WHEN payload LIKE '%' || chr(65533) || '%' THEN 0.0
+           WHEN regexp_matches(payload, 'GLYPH<[0-9A-Fa-f]+>') THEN 0.0
+           WHEN regexp_matches(payload, '(?:/G[0-9]+){{2,}}') THEN 0.0
+           WHEN regexp_matches(payload, '^(?:/\\w+\\s*){{2,}}') THEN 0.0
+           WHEN len(regexp_extract_all(payload, '{_FRAG_RE_SQL}')) >= 3
+             THEN greatest(1.0 - 0.1 * len(regexp_extract_all(payload,
+                  '{_FRAG_RE_SQL}')), 0.0)
+           ELSE 1.0 END, 4) AS quality
+  FROM payloads
+), agg AS (
+  SELECT lang, round(avg(quality), 4) AS avg_score,
+         round(quantile_cont(quality, 0.1), 4) AS p10_score,
+         count(*) AS n_docs
+  FROM scored GROUP BY lang
+)
+SELECT lang, avg_score, p10_score,
+       CASE WHEN avg_score >= 0.9 THEN 'excellent'
+            WHEN avg_score >= 0.8 THEN 'good'
+            WHEN avg_score >= 0.5 THEN 'fair'
+            ELSE 'poor' END AS grade,
+       n_docs
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — heading propagation: last non-null over window
+# (facade/intelligent_processor.py:215-344 heading-stack analog)
+# ---------------------------------------------------------------------------
+def q_c1_heading_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_click_id"),
+    )
+
+
+ORACLE_C1 = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_click_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2 — token-budget chunk assignment (facade/intelligent_processor.py:347-877,
+# relational cum-sum variant; the stateful greedy lives in operators/chunking)
+# ---------------------------------------------------------------------------
+def q_c2_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paras = _paragraphs(spark, sf_dir).withColumn(
+        "tokens", F.size(F.split(F.col("para"), " ")).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("para_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return paras.select(
+        "doc_id",
+        "para_idx",
+        "tokens",
+        F.floor(
+            (F.coalesce(F.sum("tokens").over(w), F.lit(0))) / F.lit(50)
+        )
+        .cast("int")
+        .alias("chunk_id"),
+    )
+
+
+ORACLE_C2 = f"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split({PAYLOAD_PARAS}, chr(10) || ' ' || chr(10)))
+           AS part,
+         unnest(range(1, len(string_split({PAYLOAD_PARAS},
+                 chr(10) || ' ' || chr(10))) + 1)) AS pos
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(part, '[ \t]*\n[ \t]*', ' ', 'g')) AS para
+  FROM parts
+), paras AS (
+  SELECT doc_id, para,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS para_idx,
+         len(string_split(para, ' ')) AS tokens
+  FROM cleaned WHERE para <> ''
+)
+SELECT doc_id::BIGINT AS doc_id, para_idx::INT AS para_idx, tokens::INT AS tokens,
+       floor(coalesce(sum(tokens) OVER (PARTITION BY doc_id ORDER BY para_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 50)::INT
+         AS chunk_id
+FROM paras
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3 — interval merge (genos_utils.py:114-160 bbox-merge, relational analog:
+# gaps-and-islands over per-user value intervals)
+# ---------------------------------------------------------------------------
+def q_o3_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("value").alias("lo"),
+        (F.col("value") + 10.0).alias("hi"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("lo") > F.coalesce(F.max("hi").over(w), F.lit(float("-inf"))),
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w2))
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(F.min("lo").alias("s"), F.max("hi").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.round(F.sum(F.col("e") - F.col("s")), 4).alias("total_len"),
+        )
+    )
+
+
+ORACLE_O3 = """
+WITH iv AS (
+  SELECT user_id, value AS lo, value + 10.0 AS hi, event_id FROM events
+), flagged AS (
+  SELECT user_id, lo, hi, event_id,
+         CASE WHEN lo > coalesce(max(hi) OVER (PARTITION BY user_id
+              ORDER BY lo, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, lo, hi,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY lo, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, island_id, min(lo) AS s, max(hi) AS e
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id, count(*) AS n_islands, round(sum(e - s), 4) AS total_len
+FROM merged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gaps-and-islands over event time (C2 segmentation analog,
+# streaming-window counterpart lives in streaming/)
+# ---------------------------------------------------------------------------
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ; session tz is UTC so ntz→timestamp→long equals
+    # DuckDB's floor(epoch(ts)) on the same naive values
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > 1800, 1
+        ).when(F.lag("sec").over(w).isNull(), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w2))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_id FROM events
+), flagged AS (
+  SELECT user_id, sec, event_id,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                   IS NULL THEN 1
+              WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                   ORDER BY sec, event_id) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM ev
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       round(avg(n_events), 4) AS avg_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_content_sniff": q_s1_content_sniff,
+    "s2_doc_hash_limits": q_s2_doc_hash_limits,
+    "b1_html_extract": q_b1_html_extract,
+    "b2_paragraphs": q_b2_paragraphs,
+    "p1_text_quality": q_p1_text_quality,
+    "p6_sanitize": q_p6_sanitize,
+    "o1_compose_vectors": q_o1_compose_vectors,
+    "o6_confidence_agg": q_o6_confidence_agg,
+    "c1_heading_propagation": q_c1_heading_propagation,
+    "c2_chunk_assignment": q_c2_chunk_assignment,
+    "o3_interval_merge": q_o3_interval_merge,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES: dict[str, str] = {
+    "s1_content_sniff": ORACLE_S1,
+    "s2_doc_hash_limits": ORACLE_S2,
+    "b1_html_extract": ORACLE_B1,
+    "b2_paragraphs": ORACLE_B2,
+    "p1_text_quality": ORACLE_P1,
+    "p6_sanitize": ORACLE_P6,
+    "o1_compose_vectors": ORACLE_O1,
+    "o6_confidence_agg": ORACLE_O6,
+    "c1_heading_propagation": ORACLE_C1,
+    "c2_chunk_assignment": ORACLE_C2,
+    "o3_interval_merge": ORACLE_O3,
+    "events_sessionize": ORACLE_SESSIONIZE,
+}

@@ -202,5 +202,11 @@ def write_transcripts_parquet(
     **kwargs,
 ) -> str:
     df = generate_transcripts(n_convs, turns_mean, seed, **kwargs)
-    df.to_parquet(path, index=False)
+    # Spark rejects TIMESTAMP(NANOS) parquet columns — write microseconds
+    df.to_parquet(
+        path,
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
     return path

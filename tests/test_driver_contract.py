@@ -1,0 +1,81 @@
+"""Mini-driver: runs every queries() entry on Spark AND its oracle_sql() on
+DuckDB at sf0.001, compares row count, column names, and order-insensitive
+values — the same gate the real driver applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm_cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.4f}"
+        return str(v)
+
+    out = df.map(norm_cell)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def _entry_names():
+    import __spark_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", _entry_names())
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as e
+
+    got = _normalize(e.queries()[name](spark, SF_DIR).toPandas())
+    oracle = e.oracle_sql().get(name)
+    if oracle is None:
+        assert len(got) >= 0  # rows-only check
+        return
+    exp = _normalize(duck.sql(oracle).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows vs oracle {len(exp)}"
+    neq = (got != exp).any(axis=1)
+    assert not neq.any(), (
+        f"{name}: {neq.sum()} mismatched rows\nspark:\n"
+        f"{got[neq].head(3)}\noracle:\n{exp[neq].head(3)}"
+    )
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    n = df.count()
+    assert n == 500
+    assert {"conv_id", "turn_idx", "extracted_text", "spans", "parse_status"} <= set(
+        df.columns
+    )

@@ -1,0 +1,185 @@
+"""Spark integration tests: the extraction operator and the end-to-end job.
+
+The correctness contract (north rule): per-turn text equality under stable
+(conv_id, turn_idx) ordering — asserted here by comparing the distributed
+result against the pure-python kernels applied row-by-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from doc_parser_spark.datamodel import CT_EMPTY, STATUS_SKIPPED, STATUS_SUCCESS
+from doc_parser_spark.functions.html_extract import extract_html
+from doc_parser_spark.functions.pdfish_extract import extract_pdfish
+from doc_parser_spark.functions.plain_extract import extract_plain
+from doc_parser_spark.operators.extract import extract_turns, with_content_type
+from doc_parser_spark.sources.sniff import sniff_text
+
+
+def _expected_text(text: str) -> str | None:
+    ct = sniff_text(text)
+    if ct == CT_EMPTY:
+        return ""
+    if ct == "html":
+        return extract_html(text)[0]
+    if ct == "pdf":
+        return extract_pdfish(text)[0]
+    return extract_plain(text)[0]
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, transcripts_pdf):
+    df = spark.createDataFrame(transcripts_pdf)
+    return (
+        extract_turns(df, route_partitions=8)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+
+
+class TestExtractOperator:
+    def test_row_count_preserved(self, extracted, transcripts_pdf):
+        assert len(extracted) == len(transcripts_pdf)
+
+    def test_per_turn_text_equality(self, extracted, transcripts_pdf):
+        """Distributed result == pure-kernel result, per turn, stable order."""
+        inp = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(
+            drop=True
+        )
+        got = extracted.reset_index(drop=True)
+        assert (got["conv_id"] == inp["conv_id"]).all()
+        assert (got["turn_idx"] == inp["turn_idx"]).all()
+        expected = inp["text"].map(_expected_text)
+        mismatches = got["extracted_text"].fillna("") != expected.fillna("")
+        assert not mismatches.any(), (
+            f"{mismatches.sum()} per-turn text mismatches; first: "
+            f"{got[mismatches].head(2).to_dict()}"
+        )
+
+    def test_spans_match_text_slices(self, extracted):
+        for _, row in extracted.iterrows():
+            if row["spans"] is None:
+                continue
+            for span in row["spans"]:
+                seg = row["extracted_text"][span["start"] : span["end"]]
+                assert len(seg) == span["end"] - span["start"]
+                assert "\n\n" not in seg or span["label"] == "table"
+
+    def test_status_vocabulary(self, extracted):
+        assert set(extracted["parse_status"]) <= {
+            "success",
+            "partial_success",
+            "failure",
+            "skipped",
+        }
+
+    def test_empty_is_skipped(self, extracted, transcripts_pdf):
+        inp = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(
+            drop=True
+        )
+        got = extracted.reset_index(drop=True)
+        empties = inp["text"].fillna("").str.strip() == ""
+        assert (got.loc[empties, "parse_status"] == STATUS_SKIPPED).all()
+        assert (got.loc[~empties, "parse_status"] == STATUS_SUCCESS).all()
+
+    def test_content_types_routed(self, extracted):
+        assert {"html", "plain", "pdf"} <= set(extracted["content_type"])
+
+    def test_garbage_scores_zero(self, extracted):
+        glyph = extracted["extracted_text"].fillna("").str.contains("GLYPH<")
+        assert (extracted.loc[glyph, "parse_score"] == 0.0).all()
+
+    def test_counts(self, extracted):
+        nonnull = extracted[extracted["extracted_text"].notna()]
+        assert (nonnull["n_char"] == nonnull["extracted_text"].str.len()).all()
+
+
+class TestSniffColumn:
+    def test_matches_scalar(self, spark, transcripts_pdf):
+        df = spark.createDataFrame(transcripts_pdf.head(50))
+        got = (
+            with_content_type(df)
+            .select("conv_id", "turn_idx", "content_type")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        inp = (
+            transcripts_pdf.head(50)
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got["content_type"].tolist() == [
+            sniff_text(t) for t in inp["text"]
+        ]
+
+
+class TestPipelineJob:
+    def test_job_runs_and_resumes(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.plans.pipeline import (
+            read_extracted,
+            read_metrics,
+            run_extraction_job,
+        )
+
+        df = spark.createDataFrame(transcripts_pdf)
+        out = str(tmp_path / "out")
+        summary = run_extraction_job(
+            spark, df, out, n_buckets=8, job_run_id="run1"
+        )
+        assert summary["rows"] == len(transcripts_pdf)
+
+        result = read_extracted(spark, out)
+        assert result.count() == len(transcripts_pdf)
+        assert "bucket_id" in result.columns
+
+        metrics = read_metrics(spark, out).toPandas()
+        assert metrics["docs_parsed"].sum() == len(transcripts_pdf)
+        assert (metrics["job_run_id"] == "run1").all()
+        assert metrics["bytes_processed"].sum() > 0
+
+        # resume: everything committed → second run is a no-op
+        summary2 = run_extraction_job(
+            spark, df, out, n_buckets=8, job_run_id="run2"
+        )
+        assert summary2["rows"] == 0
+        assert read_extracted(spark, out).count() == len(transcripts_pdf)
+
+    def test_partial_resume(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.operators.extract import bucket_id
+        from doc_parser_spark.plans.pipeline import (
+            read_extracted,
+            run_extraction_job,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(transcripts_pdf)
+        out = str(tmp_path / "out2")
+        # first run sees only buckets 0-3 (simulated interrupted job)
+        partial = df.where(bucket_id("conv_id", 8) < 4)
+        run_extraction_job(spark, partial, out, n_buckets=8, job_run_id="p1")
+        n_partial = read_extracted(spark, out).count()
+        assert 0 < n_partial < len(transcripts_pdf)
+
+        # rerun over the full input completes only the missing buckets
+        run_extraction_job(spark, df, out, n_buckets=8, job_run_id="p2")
+        final = read_extracted(spark, out)
+        assert final.count() == len(transcripts_pdf)
+        # no duplicates
+        assert (
+            final.select("conv_id", "turn_idx").distinct().count()
+            == len(transcripts_pdf)
+        )
+
+    def test_stable_ordering_within_bucket_files(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.plans.pipeline import run_extraction_job, read_extracted
+
+        df = spark.createDataFrame(transcripts_pdf)
+        out = str(tmp_path / "out3")
+        run_extraction_job(spark, df, out, n_buckets=4, job_run_id="o1")
+        pdf = read_extracted(spark, out).toPandas()
+        # within each parquet bucket, rows must be (conv_id, turn_idx)-sorted
+        for _, grp in pdf.groupby("bucket_id"):
+            keys = list(zip(grp["conv_id"], grp["turn_idx"]))
+            assert keys == sorted(keys)
