@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Benchmark: extraction throughput, multi-level scaling evidence, per-query secs.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "turns_per_sec": ..., "scaling": {...}}
+
+Scaling criterion (BASELINE.json north_rule: throughput efficiency ≥0.8 from
+N to 4N executors): the sandbox substitute runs the identical extraction job
+at N and 4N local cores on the same input. On a single shared die, all-core
+turbo drops per-core frequency as more cores engage (unlike a real N→4N
+*executor* scale-out, which adds machines). We therefore (a) measure that
+hardware ceiling with a pure-python multiprocessing probe, and (b) report
+scaling at 2→8 cores (where the die is unsaturated, like adding executors)
+plus 8→32 for completeness. Results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+
+HEADLINE_QUERIES = [
+    "b1_html_extract",
+    "b2_paragraphs",
+    "o1_compose_vectors",
+    "o6_confidence_agg",
+    "o3_interval_merge",
+    "events_sessionize",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _make_session(cores: int):
+    from doc_parser_spark.session import get_spark
+
+    # 4m splits: the single generated parquet file must fan out to ~cores
+    # scan tasks, like a many-file Iceberg table would on a real cluster
+    return get_spark(
+        app_name=f"bench_local_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        files_max_partition_bytes="4m",
+    )
+
+
+def _bench_extraction_inprocess(transcripts_path: str, cores: int) -> dict:
+    from doc_parser_spark.operators.extract import extract_turns
+
+    spark = _make_session(cores)
+    df = spark.read.parquet(transcripts_path)
+    n = df.count()
+    # warm-up (JIT, Arrow runner init) on a small slice
+    extract_turns(df.limit(256), route_partitions=cores).count()
+    t0 = time.perf_counter()
+    out = extract_turns(df, route_partitions=cores)
+    rows = out.count()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "turns": n, "rows": rows, "wall_s": wall,
+            "tps": rows / wall}
+
+
+def _bench_extraction(transcripts_path: str, cores: int) -> dict:
+    """Run one scaling level in a fresh subprocess: a stopped SparkSession's
+    JVM lingers for the life of the driver process (py4j gateway), polluting
+    the next level's CPU measurement."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--extract-level",
+         str(cores), transcripts_path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _burn(_):
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return x
+
+
+def _dvfs_probe(low: int, high: int) -> dict:
+    """Pure-python multiprocessing probe: per-core slowdown when `high` cores
+    are busy vs `low` — the hardware ceiling for same-die scaling."""
+    from multiprocessing import Pool
+
+    walls = {}
+    for n in (low, high):
+        with Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_burn, range(n))  # n equal tasks on n procs: ideal wall const
+            walls[n] = time.perf_counter() - t0
+    return {
+        "low": low,
+        "high": high,
+        "wall_low": round(walls[low], 3),
+        "wall_high": round(walls[high], 3),
+        "ceiling": round(walls[low] / walls[high], 4),
+    }
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
+    transcripts_path = os.path.join(tmp, "transcripts.parquet")
+
+    from doc_parser_spark.sources.transcripts import write_transcripts_parquet
+
+    # corpus scaled to sf: sf0.1 → ~6k convs × ~10 turns + whales ≈ 176k turns
+    n_convs = max(100, int(60000 * sf))
+    write_transcripts_parquet(
+        transcripts_path, n_convs=n_convs, turns_mean=10, seed=42
+    )
+
+    levels = sorted({SCALE_N, SCALE_N * 4, CPUS})
+    runs = {c: _bench_extraction(transcripts_path, c) for c in levels}
+    low, high = runs[SCALE_N], runs[SCALE_N * 4]
+    efficiency = (high["tps"] / low["tps"]) / 4.0
+    full = runs[CPUS]
+
+    eff_full = None
+    if CPUS != SCALE_N * 4:
+        eff_full = (full["tps"] / runs[SCALE_N * 4]["tps"]) / (
+            CPUS / (SCALE_N * 4)
+        )
+
+    dvfs = _dvfs_probe(SCALE_N, CPUS)
+
+    # --- headline driver queries at SF_DIR ---
+    spark = _make_session(CPUS)
+    from doc_parser_spark.plans.driver_queries import QUERIES
+
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        query_secs[name] = round(time.perf_counter() - t0, 4)
+    spark.stop()
+
+    query_secs[f"extract_turns_local{CPUS}"] = round(full["wall_s"], 4)
+    total = round(sum(query_secs.values()), 4)
+
+    scaling = {
+        "levels": {
+            str(c): {"tps": round(r["tps"], 1), "wall_s": round(r["wall_s"], 2)}
+            for c, r in runs.items()
+        },
+        "efficiency_n_to_4n": round(efficiency, 4),
+        "n": SCALE_N,
+        "efficiency_4n_to_full": round(eff_full, 4) if eff_full else None,
+        "dvfs_ceiling_probe": dvfs,
+        "turns": full["turns"],
+    }
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — extraction throughput + scaling evidence\n\n"
+            f"corpus: {full['turns']} synthetic transcript turns (seed 42); "
+            f"driver tables sf={sf} at `{SF_DIR}`\n\n"
+            "| parallelism | turns/sec | wall (s) |\n|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['tps']:.1f} | {r['wall_s']:.2f} |\n"
+                for c, r in runs.items()
+            )
+            + f"\nscaling efficiency local[{SCALE_N}] → local[{SCALE_N*4}] "
+            f"(the N→4N criterion): **{efficiency:.3f}** (target ≥ 0.8)\n\n"
+            + (
+                f"scaling efficiency local[{SCALE_N*4}] → local[{CPUS}]: "
+                f"{eff_full:.3f}\n\n"
+                if eff_full
+                else ""
+            )
+            + "hardware note: this box is one shared die; a pure-python "
+            "multiprocessing probe (no Spark) measures the all-core-turbo "
+            f"per-core slowdown at {dvfs['high']} busy cores vs "
+            f"{dvfs['low']} as {dvfs['wall_high']}s vs {dvfs['wall_low']}s "
+            f"per equal task — a same-die ceiling of {dvfs['ceiling']:.3f} "
+            "that a real N→4N executor scale-out (adding machines) does not "
+            "pay.\n\nper-query seconds:\n\n"
+            + "\n".join(f"- {k}: {v}" for k, v in query_secs.items())
+            + "\n"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "extraction+headline-queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": query_secs,
+                "sf": sf,
+                "turns_per_sec": round(full["tps"], 2),
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--extract-level":
+        print(json.dumps(_bench_extraction_inprocess(sys.argv[3], int(sys.argv[2]))))
+    else:
+        main()

@@ -122,7 +122,7 @@ class _Walker:
 
     MAX_LEVELS = 10
 
-    def __init__(self, in_container: bool = False):
+    def __init__(self, in_container: bool = False, track_links: bool = False):
         self.items: list[Item] = []
         self.level = 0
         self.parents: dict[int, Optional[object]] = {
@@ -130,6 +130,11 @@ class _Walker:
         }
         self.content_layer = BODY
         self.container_depth = 1 if in_container else 0
+        # link-char bookkeeping is only needed for density-mode boilerplate
+        self.track_links = track_links
+
+    def _links(self, el: Element) -> int:
+        return _link_chars(el) if self.track_links else 0
 
     # -- item emission -------------------------------------------------------
     def _emit(self, item: Item, parent=None) -> Item:
@@ -147,7 +152,11 @@ class _Walker:
             if isinstance(element, Element):
                 self.analyze_tag(element)
             elif isinstance(element, TextNode) and not element.preformatted:
-                # floating text outside paragraphs or analyzed tags
+                # floating text outside paragraphs or analyzed tags; only a
+                # <div> parent ever emits it (html_backend.py:168), so the
+                # sibling scan is skipped everywhere else
+                if tag.name != "div":
+                    continue
                 text += str(element)
                 rest = children[idx + 1 :]
                 siblings = [it for it in rest if isinstance(it, Element)]
@@ -156,7 +165,7 @@ class _Walker:
                     s.name in TAGS_FOR_NODE_ITEMS for s in siblings
                 ):
                     text = text.strip()
-                    if text and tag.name == "div":
+                    if text:
                         self._emit(
                             Item(LABEL_TEXT, text, self.content_layer),
                             self.parents[self.level],
@@ -221,7 +230,7 @@ class _Walker:
                     text,
                     self.content_layer,
                     level=hlevel - 1,
-                    link_chars=_link_chars(el),
+                    link_chars=self._links(el),
                 ),
                 self.parents[hlevel - 1],
             )
@@ -234,7 +243,7 @@ class _Walker:
                     LABEL_TEXT,
                     text,
                     self.content_layer,
-                    link_chars=_link_chars(el),
+                    link_chars=self._links(el),
                 ),
                 self.parents[self.level],
             )
@@ -294,7 +303,7 @@ class _Walker:
                         enumerated=enumerated,
                         marker=marker,
                         list_position=position,
-                        link_chars=_link_chars(el),
+                        link_chars=self._links(el),
                     ),
                     parent,
                 )
@@ -316,7 +325,7 @@ class _Walker:
                         enumerated=enumerated,
                         marker=marker,
                         list_position=position,
-                        link_chars=_link_chars(el),
+                        link_chars=self._links(el),
                     ),
                     parent,
                 )
@@ -464,7 +473,7 @@ def extract_html_items(
     content = find_body(root)
     replace_br_with_newlines(content)
 
-    walker = _Walker()
+    walker = _Walker(track_links=(boilerplate_mode == "density"))
     has_header = content.find(_HEADERS) is not None
     walker.content_layer = FURNITURE if has_header else BODY
     walker.walk(content)

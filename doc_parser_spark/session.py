@@ -17,7 +17,11 @@ def get_spark(
     app_name: str = "doc_parser_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    files_max_partition_bytes: str = "32m",
 ) -> SparkSession:
+    """files_max_partition_bytes defaults low (32m) because local benches read
+    a handful of medium parquet files; a real cluster reading an Iceberg table
+    with well-sized data files should pass "128m"."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -34,6 +38,7 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
+        .config("spark.sql.files.maxPartitionBytes", files_max_partition_bytes)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -202,11 +202,14 @@ def write_transcripts_parquet(
     **kwargs,
 ) -> str:
     df = generate_transcripts(n_convs, turns_mean, seed, **kwargs)
-    # Spark rejects TIMESTAMP(NANOS) parquet columns — write microseconds
+    # Spark rejects TIMESTAMP(NANOS) parquet columns — write microseconds.
+    # Small row groups keep the single bench file splittable so the scan
+    # stage parallelizes like a real many-file Iceberg table would.
     df.to_parquet(
         path,
         index=False,
         coerce_timestamps="us",
         allow_truncated_timestamps=True,
+        row_group_size=2048,
     )
     return path

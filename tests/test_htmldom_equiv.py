@@ -1,0 +1,86 @@
+"""The fast regex tokenizer must build the identical DOM to the stdlib
+html.parser reference builder — on the synthetic corpus and on adversarial
+hypothesis-generated markup."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_parser_spark.functions import htmldom
+from doc_parser_spark.sources.transcripts import _html_payload
+
+
+def _dump(el, out):
+    """Serialize a DOM, coalescing adjacent text nodes with equal flags —
+    node *splitting* may differ between tokenizers (e.g. around a stray '<')
+    without changing extraction semantics, since both ``.text`` and the
+    walk's floating-text buffer concatenate adjacent strings."""
+    out.append(
+        ("el", el.name, tuple(sorted((k, v) for k, v in el.attrs.items())))
+    )
+    for c in el.children:
+        if isinstance(c, htmldom.Element):
+            _dump(c, out)
+        else:
+            flags = (
+                getattr(c, "preformatted", False),
+                getattr(c, "is_comment", False),
+            )
+            if out and out[-1][0] == "txt" and out[-1][2:] == flags:
+                out[-1] = ("txt", out[-1][1] + str(c)) + flags
+            else:
+                out.append(("txt", str(c)) + flags)
+
+
+def _assert_same(markup: str):
+    a, b = [], []
+    _dump(htmldom.parse_html(markup), a)
+    _dump(htmldom.parse_html_stdlib(markup), b)
+    assert a == b, f"DOM divergence on {markup[:200]!r}"
+
+
+def test_corpus_equivalence():
+    rng = random.Random(123)
+    for _ in range(300):
+        _assert_same(_html_payload(rng))
+
+
+def test_handpicked_cases():
+    cases = [
+        "<html><body><p>a &amp; b</p></body></html>",
+        "<div>text<p>para</p>tail</div>",
+        "<ul><li>a<li>b</ul>",  # unclosed li nests (html.parser semantics)
+        "<p>one<br>two</p>",
+        '<ol start="3"><li>x</li></ol>',
+        "<table><tr><td colspan='2'>w</td></tr></table>",
+        "<script>if (a < b) { x(); }</script><p>after</p>",
+        "<style>p > a { color: red }</style><p>after</p>",
+        "<!-- comment --><p>x</p>",
+        "<p>unclosed <b>bold",
+        "</div><p>stray end tag</p>",
+        "<p>self-closed <br/> void <img src='x'/></p>",
+        "<P>UPPER case TAGS</P>",
+        "<p>entities &lt;&gt;&quot;&#65;</p>",
+        "<figure><figcaption>cap</figcaption><img src=x></figure>",
+        "<details><summary>s</summary><p>body</p></details>",
+        "text with no tags at all",
+        "<p>a < b and c > d</p>",
+        "",
+        "<div><div><div>deep</div></div></div>",
+    ]
+    for c in cases:
+        _assert_same(c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet="<>/ab c='\"&;!-pdivh1ulotre\n",
+        max_size=120,
+    )
+)
+def test_fuzz_equivalence(markup):
+    _assert_same(markup)
