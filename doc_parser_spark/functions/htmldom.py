@@ -176,17 +176,23 @@ _TOKEN_RE = __import__("re").compile(
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"            # cdata
     r"|<![^>]*>"                             # doctype / declaration
     r"|<\?[^>]*>"                            # processing instruction
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"  # end tag        (group 1)
-    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)"          # start tag name (group 2)
+    # tag-name charsets mirror html.parser's tagfind_tolerant/endtagfind
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"      # end tag        (group 1)
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"           # start tag name (group 2)
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"     # attrs blob     (group 3)
-    r"(/?)>",                                # self-closing   (group 4)
+    r"(/?)>"                                 # self-closing   (group 4)
+    r"|</[^>]*>",                            # bogus end tag → bogus comment
     __import__("re").DOTALL,
 )
 
+# html.parser's attrfind_tolerant, verbatim grammar: attr names may start
+# with any non-space/slash char when preceded by a delimiter
 _ATTR_RE = __import__("re").compile(
-    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
-    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+    r"((?<=[\'\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
 )
+
+_TAGNAME_RE = __import__("re").compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 
 _RAWTEXT_END = {
     "script": __import__("re").compile(r"</script\s*>", __import__("re").IGNORECASE),
@@ -197,14 +203,16 @@ from html import unescape as _unescape
 
 
 def _parse_attrs(blob: str) -> dict:
+    """Mirror html.parser.parse_starttag's attr loop: the blob keeps its
+    leading delimiter so the lookbehind in attrfind_tolerant applies."""
     attrs: dict = {}
     for m in _ATTR_RE.finditer(blob):
         name = m.group(1).lower()
-        val = m.group(2)
-        if val is None:
+        rest, val = m.group(2), m.group(3)
+        if not rest:
             attrs[name] = None
         else:
-            if val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
+            if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
                 val = val[1:-1]
             attrs[name] = _unescape(val) if "&" in val else val
     return attrs
@@ -268,12 +276,33 @@ def parse_html(markup: str) -> Element:
                     del stack[i:]
                     break
         else:
+            # html.parser parity for non-tag tokens:
+            #   <!--..--> comment; <![..]> marked section (dropped);
+            #   <!doctype..> declaration (dropped); other <!..> and
+            #   malformed </..> become "bogus comments"; <?..> dropped
             token = markup[start : m.end()]
             if token.startswith("<!--"):
                 body = token[4:-3] if token.endswith("-->") else token[4:]
                 stack[-1].append(CommentNode(body))
-            # doctype / cdata / PI: dropped (html.parser emits handle_decl /
-            # unknown_decl which our builder ignores too)
+            elif token.startswith("</"):
+                # parse_endtag fallback: letter-initial → tolerant end tag
+                # (name may contain junk chars); '</>' dropped; else bogus
+                # comment
+                inner = token[2:-1]
+                if inner[:1].isalpha():
+                    nm = _TAGNAME_RE.match(inner)
+                    tag = nm.group(0).lower()
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].name == tag:
+                            del stack[i:]
+                            break
+                elif inner:
+                    stack[-1].append(CommentNode(inner))
+            elif token.startswith("<!["):
+                pass
+            elif token.startswith("<!"):
+                if token[2:9].lower() != "doctype":
+                    stack[-1].append(CommentNode(token[2:-1]))
     return root
 
 
