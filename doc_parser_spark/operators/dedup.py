@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All computation is JVM-side (built-in expressions, whole-stage codegen):
+hashes via md5/sha2, shingles via split/transform/slice, MinHash via
+array_min over salted md5 — no Python UDFs, no shuffle except the
+LSH bucket self-join (which broadcasts the deduped bucket side when small).
+
+Scale notes (100 TB):
+- exact_dedup is one hash-aggregate: shuffle on doc_hash only, with partial
+  (map-side) aggregation; payload column dropped before the shuffle.
+- minhash signatures are row-local (zero shuffle); the LSH join shuffles
+  (band, bucket) keys only — constant-size rows regardless of document size.
+- ngram_jaccard_pairs is quadratic; it exists as the exactness baseline and
+  as the verification step AFTER LSH candidate generation, never on the full
+  corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3
+DEFAULT_MINHASH_K = 8
+DEFAULT_BANDS = 2
+
+
+def shingle_expr(text_col: str, n: int = DEFAULT_SHINGLE) -> str:
+    """SQL expression: distinct word n-gram shingles of a text column.
+
+    Guarded so short texts yield an empty array (Spark's sequence(0,-1)
+    would otherwise produce a DESCENDING range).
+    """
+    return (
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 content hash; keeper = min id per hash.
+
+    Adds ``doc_hash`` and ``keep`` (true for the single kept row per hash).
+    """
+    hashed = df.withColumn("doc_hash", F.md5(F.col(text_col)))
+    # window-free: aggregate keepers then broadcast-join back (hash side is
+    # one row per distinct hash — small relative to the corpus)
+    keepers = hashed.groupBy("doc_hash").agg(F.min(id_col).alias("_keeper"))
+    return (
+        hashed.join(keepers, "doc_hash")
+        .withColumn("keep", F.col(id_col) == F.col("_keeper"))
+        .drop("_keeper")
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    return df.withColumn("shingles", F.expr(shingle_expr(text_col, n)))
+
+
+def jaccard_expr(a: str = "a.shingles", b: str = "b.shingles") -> str:
+    return (
+        f"size(array_intersect({a}, {b})) / "
+        f"(size({a}) + size({b}) - size(array_intersect({a}, {b})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard ≥ threshold (brute force baseline).
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("jaccard", F.expr(jaccard_expr()))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """MinHash signature columns m0..m{k-1}: min over shingles of a salted
+    md5 — k independent permutation approximations, all row-local."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    cols = [F.col(id_col)]
+    for s in range(k):
+        cols.append(
+            F.expr(
+                f"array_min(transform(shingles, x -> md5(concat('{s}|', x))))"
+            ).alias(f"m{s}")
+        )
+    return sh.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signature, bucket-join on
+    (band, bucket-hash), then verify candidates with true Jaccard.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold.
+    At scale the join shuffles only (band, bucket, id) — constant-size rows.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    band_cols = []
+    for b in range(bands):
+        parts = ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_cols.append(F.expr(f"md5(concat_ws('|', {parts}))").alias(f"band{b}"))
+    banded = sigs.select(F.col(id_col).alias("id"), *band_cols)
+    buckets = banded.selectExpr(
+        "id",
+        "posexplode(array(" + ", ".join(f"band{b}" for b in range(bands)) + ")) "
+        "AS (band, bucket)",
+    )
+    cands = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("id"), "shingles"
+    )
+    return (
+        cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("b_id") == F.col("sb.id"))
+        .withColumn("jaccard", F.expr(jaccard_expr("sa.shingles", "sb.shingles")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint over word hashes (md5-derived 32-bit ints).
+
+    bit_i(doc) = sign of sum over words of (word_hash>>i & 1)*2-1;
+    fingerprint = Σ bit_i · 2^i. Entirely row-local expressions.
+    """
+    hashes = (
+        f"transform(split({text_col}, ' '), "
+        "w -> cast(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate({hashes}, 0L, "
+        f"(acc, h) -> acc + (shiftright(h, {i}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << i}L ELSE 0L END)"
+        for i in range(bits)
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(bit_terms).alias("simhash"),
+    )
+
+
+def simhash_oracle_sql(payload_sql: str, bits: int = 16) -> str:
+    """DuckDB mirror of ``simhash`` over a payload expression."""
+    hashes = (
+        f"list_transform(string_split({payload_sql}, ' '), "
+        "w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({hashes}, "
+        f"h -> ((h >> {i}) & 1) * 2 - 1)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return bit_terms

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_scores`` / ``topk``: brute-force baseline, JVM-side higher-order
+  functions (zip_with + aggregate) in double precision — exact and
+  deterministic (left-to-right fold, same as DuckDB's list functions).
+- ``ann_lsh``: random-hyperplane LSH scale path. Hyperplane signs derive from
+  md5(plane, dim) — deterministic, no stored model. Query cost at scale:
+  one bucket-equality join instead of a full scan; recall is tested against
+  the brute-force baseline in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COS_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE))) * "
+    "sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE))))"
+)
+
+
+def cosine_scores(
+    df: DataFrame, id_col: str, vec_col: str, query_df: DataFrame
+) -> DataFrame:
+    """Cosine of every row's vector against the single query vector.
+
+    query_df: one row with column ``qvec``. Broadcast — no shuffle of df.
+    """
+    joined = df.crossJoin(F.broadcast(query_df))
+    return joined.select(
+        F.col(id_col),
+        F.round(
+            F.expr(COS_EXPR.format(a=vec_col, b="qvec")), 4
+        ).alias("score"),
+    )
+
+
+def topk(
+    df: DataFrame, id_col: str, vec_col: str, query_df: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k by (rounded score desc, id asc) — the tiebreak keeps the result
+    deterministic across engines and partitionings."""
+    return (
+        cosine_scores(df, id_col, vec_col, query_df)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (sign-random-projection)
+# ---------------------------------------------------------------------------
+def _plane_sign_expr(vec_col: str, plane: int) -> str:
+    """sign(Σ_d v[d] · s(plane, d)) where s ∈ {-1, +1} comes from one hex
+    digit of md5(plane||'_'||d) — deterministic pseudo-random hyperplane."""
+    return (
+        f"CASE WHEN aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, size({vec_col}) - 1), "
+        f"d -> (conv(substr(md5(concat('{plane}_', d)), 1, 1), 16, 10) % 2) * 2 - 1), "
+        f"(x, s) -> cast(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v) > 0 "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+def lsh_bucket_expr(vec_col: str, planes: int = 8) -> str:
+    """Bucket id = concatenated sign bits over `planes` hyperplanes."""
+    bits = ", ".join(_plane_sign_expr(vec_col, p) for p in range(planes))
+    return f"concat_ws('', {bits})"
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+) -> DataFrame:
+    """ANN: restrict the scan to vectors sharing the query's LSH bucket,
+    then exact cosine within the bucket. At scale the bucket column is a
+    stored/partitioned column, so a query touches one partition."""
+    bucketed = df.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, planes)))
+    qb = query_df.withColumn("qbucket", F.expr(lsh_bucket_expr("qvec", planes)))
+    cand = bucketed.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(F.expr(COS_EXPR.format(a=vec_col, b="qvec")), 4).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

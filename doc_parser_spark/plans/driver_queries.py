@@ -620,3 +620,414 @@ ORACLES: dict[str, str] = {
     "o3_interval_merge": ORACLE_O3,
     "events_sessionize": ORACLE_SESSIONIZE,
 }
+
+
+# ===========================================================================
+# batch 2 — dedup / similarity / text-analysis / relational operators
+# ===========================================================================
+from doc_parser_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_oracle_sql,
+)
+from doc_parser_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk,
+    cosine_scores,
+    topk,
+)
+
+# exact-dup corpus: 30% of docs share one canonical payload
+PAYLOAD_EXACTDUP = (
+    "CASE WHEN doc_id % 10 < 3 THEN 'duplicate canonical payload' "
+    "ELSE text END"
+)
+
+# near-dup corpus: odd docs = previous doc's text + a fixed tail (self-join)
+NEARDUP_SQL = """
+SELECT d.doc_id AS doc_id,
+       CASE WHEN d.doc_id % 2 = 1
+            THEN p.text || ' extra tail words appended here'
+            ELSE d.text END AS payload
+FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+WHERE d.doc_id < 200
+"""
+
+_SHINGLE_SQL = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w) - 1)])"
+)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).alias("d")
+    p = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    ).alias("p")
+    return (
+        d.join(p, F.col("d.doc_id") - 1 == F.col("p_id"), "left")
+        .where(F.col("d.doc_id") < 200)
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.when(
+                F.col("d.doc_id") % 2 == 1,
+                F.concat(F.col("p_text"), F.lit(" extra tail words appended here")),
+            )
+            .otherwise(F.col("d.text"))
+            .alias("payload"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(PAYLOAD_EXACTDUP).alias("payload"),
+    )
+    return exact_dedup(docs, "doc_id", "payload").select(
+        "doc_id", "doc_hash", "keep"
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH hashed AS (
+  SELECT doc_id::BIGINT AS doc_id, md5({PAYLOAD_EXACTDUP}) AS doc_hash
+  FROM documents
+)
+SELECT doc_id, doc_hash,
+       doc_id = min(doc_id) OVER (PARTITION BY doc_hash) AS keep
+FROM hashed
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (brute force baseline)
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, "doc_id", "payload", threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH corpus AS ({NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id AS id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE len(list_intersect(a.shingles, b.shingles))
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (salted-md5 permutations, row-local)
+# ---------------------------------------------------------------------------
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return minhash_signatures(corpus, "doc_id", "payload", k=8)
+
+
+def _minhash_cols_sql(k: int = 8) -> str:
+    return ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}|' || x))) AS m{s}"
+        for s in range(k)
+    )
+
+
+ORACLE_MINHASH = f"""
+WITH corpus AS ({NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+)
+SELECT doc_id, {_minhash_cols_sql(8)} FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs (band → bucket join → verify)
+# ---------------------------------------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return lsh_candidate_pairs(corpus, "doc_id", "payload", threshold=0.2)
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH corpus AS ({NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_cols_sql(8)} FROM sh
+),
+banded AS (
+  SELECT doc_id AS id,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS band0,
+         md5(concat_ws('|', m4, m5, m6, m7)) AS band1
+  FROM sigs
+),
+buckets AS (
+  SELECT id, 0 AS band, band0 AS bucket FROM banded
+  UNION ALL
+  SELECT id, 1 AS band, band1 AS bucket FROM banded
+),
+cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.a_id, c.b_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+ORACLE_SIMHASH = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ({simhash_oracle_sql('text', 16)})::BIGINT AS simhash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID heuristic, token counting, fingerprinting
+# ---------------------------------------------------------------------------
+_STOPWORDS = "'the', 'a', 'of', 'and', 'to'"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(
+            F.expr(
+                f"size(filter(split(lower(text), ' '), w -> w IN ({_STOPWORDS})))"
+                " / size(split(text, ' '))"
+            ),
+            4,
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"CASE WHEN size(filter(split(lower(text), ' '), "
+            f"w -> w IN ({_STOPWORDS}))) / size(split(text, ' ')) > 0.03 "
+            "THEN 'en' ELSE 'unknown' END"
+        ).alias("lang_guess"),
+    )
+
+
+ORACLE_TEXT_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ({_STOPWORDS}))) * 1.0
+           / len(string_split(text, ' ')) AS ratio
+  FROM documents
+)
+SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+       CASE WHEN ratio > 0.03 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM t
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("size(split(text, ' '))").cast("int").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{_BPE_RE}', 0))")
+        .cast("int")
+        .alias("bpe_tokens"),
+    )
+
+
+ORACLE_TEXT_TOKEN_COUNT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))::INT AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import shingle_expr
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("content_md5"),
+        F.expr(
+            f"array_min(transform({shingle_expr('text', 3)}, x -> md5(x)))"
+        ).alias("min_shingle_md5"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       md5(text) AS content_md5,
+       list_min(list_transform({_SHINGLE_SQL.replace("w[", "w[").replace("w)", "w)")}, x -> md5(x)))
+         AS min_shingle_md5
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embeddings(spark, sf_dir)
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+def q_sim_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return cosine_scores(emb, "vec_id", "embedding", _query_vec(spark, sf_dir))
+
+
+ORACLE_SIM_COSINE = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         AS score
+FROM embeddings
+"""
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return topk(emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10)
+
+
+ORACLE_SIM_TOPK = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH bucket — no SQL oracle (rows-only);
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    emb = _embeddings(spark, sf_dir)
+    return ann_lsh_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core: broadcast join + aggregation; tumbling event-time window
+# ---------------------------------------------------------------------------
+def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_AGG = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_lang_id": q_text_lang_id,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_cosine_scores": q_sim_cosine_scores,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "join_agg_revenue": q_join_agg_revenue,
+        "events_tumbling": q_events_tumbling,
+    }
+)
+
+ORACLES.update(
+    {
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_minhash": ORACLE_MINHASH,
+        "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+        "dedup_simhash": ORACLE_SIMHASH,
+        "text_lang_id": ORACLE_TEXT_LANG_ID,
+        "text_token_count": ORACLE_TEXT_TOKEN_COUNT,
+        "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+        "sim_cosine_scores": ORACLE_SIM_COSINE,
+        "sim_topk": ORACLE_SIM_TOPK,
+        # sim_ann_lsh: intentionally no oracle (rows-only check)
+        "join_agg_revenue": ORACLE_JOIN_AGG,
+        "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    }
+)
