@@ -183,7 +183,9 @@ def extract_turns(
     Arrow-batched extraction.
     """
     typed = with_content_type(df)
-    if route_partitions:
+    if route_partitions == 0:
+        pass  # no routing shuffle (streaming micro-batches are pre-split)
+    elif route_partitions:
         typed = typed.repartition(
             route_partitions,
             F.col("content_type"),

@@ -1,0 +1,117 @@
+"""Chunking kernel + operator tests (HybridChunker semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from doc_parser_spark.functions.chunking import (
+    chunk_items,
+    count_tokens,
+    greedy_chunks,
+    with_heading_context,
+)
+
+
+class TestKernel:
+    def test_count_tokens(self):
+        assert count_tokens("") == 0
+        assert count_tokens("one two three") == int(3 * 1.3)
+
+    def test_heading_context(self):
+        items = [
+            ("title", "T"),
+            ("text", "a"),
+            ("section_header", "S1"),
+            ("text", "b"),
+            ("section_header", "S2"),
+            ("text", "c"),
+        ]
+        ann = with_heading_context(items)
+        assert ann[1].headers == {0: "T"}
+        assert ann[3].headers == {0: "T", 1: "S1"}
+        assert ann[5].headers == {0: "T", 1: "S2"}
+
+    def test_single_small_doc_one_chunk(self):
+        chunks = chunk_items([("title", "T"), ("text", "hello world")], 2000)
+        assert len(chunks) == 1
+        assert "T" in chunks[0].text and "hello world" in chunks[0].text
+        assert chunks[0].headings == ["T"]
+
+    def test_table_gets_own_chunk_before_merge(self):
+        # a big text then a table then big text: table chunk is separate
+        big = " ".join(["word"] * 600)  # 780 tokens > min_size(666)
+        chunks = chunk_items(
+            [("text", big), ("table", "| a | b |"), ("text", big)], 2000
+        )
+        table_chunks = [c for c in chunks if "| a | b |" in c.text]
+        assert len(table_chunks) == 1
+        # the table chunk is small → merged with a neighbor by merge-small
+        assert len(chunks) == 2
+
+    def test_budget_split(self):
+        para = " ".join(["tok"] * 600)  # 780 tokens
+        chunks = chunk_items([("text", para), ("text", para), ("text", para)], 1000)
+        # each pair would be 1560 > 1000 → one chunk per paragraph
+        assert len(chunks) == 3
+        assert all(c.n_tokens <= 1000 for c in chunks)
+
+    def test_oversize_single_item_kept_whole(self):
+        para = " ".join(["tok"] * 2000)  # 2600 tokens > max
+        chunks = chunk_items([("text", para)], 1000)
+        assert len(chunks) == 1
+        assert chunks[0].n_tokens > 1000
+
+    def test_merge_small_chunks(self):
+        # many small paragraphs pack greedily into one chunk
+        items = [("text", "small paragraph here")] * 5
+        chunks = chunk_items(items, 2000)
+        assert len(chunks) == 1
+
+    def test_headers_reemitted_on_section_change(self):
+        items = [
+            ("title", "Doc"),
+            ("section_header", "S1"),
+            ("text", "body one"),
+            ("section_header", "S2"),
+            ("text", "body two"),
+        ]
+        chunks = chunk_items(items, 2000)
+        assert len(chunks) == 1
+        text = chunks[0].text
+        # headings appear as context lines, section headers not duplicated
+        assert text.count("S1") == 1 and text.count("S2") == 1
+        assert chunks[0].headings == ["Doc", "S1", "S2"]
+
+    def test_empty(self):
+        assert greedy_chunks([], 2000) == []
+
+
+class TestOperator:
+    def test_chunk_and_compose(self, spark, transcripts_pdf):
+        from doc_parser_spark.operators.chunking import chunk_turns, compose_vectors
+        from doc_parser_spark.operators.extract import extract_turns
+
+        df = spark.createDataFrame(transcripts_pdf.head(120))
+        extracted = extract_turns(df)
+        chunks = chunk_turns(extracted, max_tokens=200)
+        vectors = compose_vectors(chunks).toPandas()
+
+        assert len(vectors) > 0
+        assert (vectors["n_char"] == vectors["text"].str.len()).all()
+        # index invariants per conversation
+        for conv, grp in vectors.groupby("conv_id"):
+            grp = grp.sort_values(["turn_idx", "i_chunk_on_doc"])
+            assert grp["i_chunk_on_doc"].tolist() == list(range(len(grp)))
+            assert (grp["n_chunk_of_doc"] == len(grp)).all()
+        for (_, _), grp in vectors.groupby(["conv_id", "turn_idx"]):
+            assert sorted(grp["i_chunk_on_page"]) == list(range(len(grp)))
+            assert (grp["n_chunk_of_page"] == len(grp)).all()
+
+    def test_chunk_budget_respected(self, spark, transcripts_pdf):
+        from doc_parser_spark.operators.chunking import chunk_turns
+        from doc_parser_spark.operators.extract import extract_turns
+
+        df = spark.createDataFrame(transcripts_pdf.head(60))
+        chunks = chunk_turns(extract_turns(df), max_tokens=100).toPandas()
+        # items are small in the corpus → no oversize single items expected
+        assert (chunks["n_tokens"] <= 130).all()

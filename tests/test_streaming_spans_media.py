@@ -1,0 +1,102 @@
+"""Streaming extraction parity, span merge, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.operators.extract import extract_turns
+        from doc_parser_spark.streaming.stream import run_stream_to_parquet
+
+        inp = str(tmp_path / "in")
+        sub = transcripts_pdf.head(200)
+        df = spark.createDataFrame(sub)
+        df.coalesce(4).write.parquet(inp)
+
+        q = run_stream_to_parquet(
+            spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(str(tmp_path / "out"))
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        exp = (
+            extract_turns(spark.createDataFrame(sub))
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        assert len(got) == len(exp)
+        assert got["extracted_text"].fillna("").tolist() == exp[
+            "extracted_text"
+        ].fillna("").tolist()
+
+        # resume: second run with same checkpoint is a no-op
+        q2 = run_stream_to_parquet(
+            spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q2.awaitTermination(60)
+        assert spark.read.parquet(str(tmp_path / "out")).count() == len(exp)
+
+    def test_windowed_rates(self, spark, transcripts_pdf):
+        from doc_parser_spark.streaming.stream import turn_rate_stream
+
+        # batch-execute the streaming aggregation definition for value parity
+        df = spark.createDataFrame(transcripts_pdf)
+        rates = turn_rate_stream(df).toPandas()
+        assert rates["n_turns"].sum() == len(transcripts_pdf)
+
+
+class TestSpans:
+    def test_merged_spans_no_overlap(self, spark, transcripts_pdf):
+        from doc_parser_spark.operators.extract import extract_turns
+        from doc_parser_spark.operators.spans import merged_spans, span_coverage
+
+        extracted = extract_turns(spark.createDataFrame(transcripts_pdf.head(100)))
+        merged = merged_spans(extracted, pad=2).toPandas()
+        assert len(merged) > 0
+        for (_, _, _), grp in merged.groupby(["conv_id", "turn_idx", "page"]):
+            grp = grp.sort_values("span_start")
+            prev_end = None
+            for _, row in grp.iterrows():
+                assert row["span_end"] >= row["span_start"]
+                if prev_end is not None:
+                    assert row["span_start"] > prev_end + 2
+                prev_end = row["span_end"]
+
+        cov = span_coverage(extracted).toPandas()
+        ok = cov[cov["total_chars"].notna()]
+        assert (ok["covered_chars"] <= ok["total_chars"]).all()
+
+
+class TestMultimodal:
+    def test_image_decode_plumbing(self, spark):
+        from doc_parser_spark.operators.multimodal import decode_images, synth_media
+
+        media = synth_media(spark, n=60)
+        feats = decode_images(media, batch_rows=8).toPandas()
+        n_images = media.where(F.col("kind") == "image").count()
+        assert len(feats) == n_images
+        assert set(feats["decode_status"]) <= {"stub_decoded", "failure", "skipped"}
+        assert (feats["n_bytes"] > 0).all()
+        assert feats["sha256"].str.len().eq(64).all()
+        # deterministic: rerun gives identical features
+        feats2 = decode_images(media, batch_rows=8).toPandas()
+        pd.testing.assert_frame_equal(
+            feats.sort_values("media_id").reset_index(drop=True),
+            feats2.sort_values("media_id").reset_index(drop=True),
+        )
+
+    def test_frame_sampling(self, spark):
+        from doc_parser_spark.operators.multimodal import sample_frames, synth_media
+
+        media = synth_media(spark, n=60)
+        frames = sample_frames(media, every_n=5).toPandas()
+        assert len(frames) > 0
+        assert (frames["frame_idx"] % 5 == 0).all()
