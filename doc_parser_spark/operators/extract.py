@@ -31,8 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from doc_parser_spark.datamodel import (
+    CT_CSV,
     CT_EMPTY,
     CT_HTML,
+    CT_MARKDOWN,
     CT_PDF,
     CT_PLAIN,
     EXTRACTED_SCHEMA,
@@ -41,7 +43,9 @@ from doc_parser_spark.datamodel import (
     STATUS_SKIPPED,
     STATUS_SUCCESS,
 )
+from doc_parser_spark.functions.csv_extract import extract_csv
 from doc_parser_spark.functions.html_extract import extract_html
+from doc_parser_spark.functions.md_extract import extract_md
 from doc_parser_spark.functions.pdfish_extract import extract_pdfish
 from doc_parser_spark.functions.plain_extract import extract_plain
 from doc_parser_spark.functions.quality import rate_text_quality
@@ -60,6 +64,8 @@ _EXTRACTORS = {
     CT_HTML: extract_html,
     CT_PDF: extract_pdfish,
     CT_PLAIN: extract_plain,
+    CT_MARKDOWN: extract_md,
+    CT_CSV: extract_csv,
 }
 
 

@@ -16,7 +16,15 @@ import re
 
 import pandas as pd
 
-from doc_parser_spark.datamodel import CT_EMPTY, CT_HTML, CT_PDF, CT_PLAIN
+from doc_parser_spark.datamodel import (
+    CT_CSV,
+    CT_EMPTY,
+    CT_HTML,
+    CT_MARKDOWN,
+    CT_PDF,
+    CT_PLAIN,
+)
+from doc_parser_spark.functions.csv_extract import sniff_csv
 
 HEAD_BYTES = 1024
 
@@ -31,6 +39,10 @@ _HTML_FRAGMENT_RE = re.compile(
     r"<(?:h[1-6]|p|div|ul|ol|li|table|pre|span|a|b|i|em|strong|nav|header|"
     r"footer|article|section|figure|img|br)\b[^>]*>",
 )
+# markdown probe: an ATX heading or fence at a line start in the head
+_MD_RE = re.compile(r"(?m)^(?:#{1,6} |```)")
+# cheap vectorized CSV prefilter; confirmed by csv.Sniffer per candidate
+_CSV_PREFILTER_RE = re.compile(r"^[^\n<]*[,;\t|][^\n]*\n", )
 
 
 def sniff_text(text: str | None) -> str:
@@ -45,8 +57,12 @@ def sniff_text(text: str | None) -> str:
         return CT_HTML
     if _HTML_RE.match(content):
         return CT_HTML
+    if _MD_RE.search(head):
+        return CT_MARKDOWN
     if _HTML_FRAGMENT_RE.search(content):
         return CT_HTML
+    if _CSV_PREFILTER_RE.match(head) and sniff_csv(text):
+        return CT_CSV
     return CT_PLAIN
 
 
@@ -61,14 +77,22 @@ def sniff_series(texts: pd.Series) -> pd.Series:
     is_xhtml = lowered.str.match(_XML_DECL_RE) & lowered.str.slice(0, 1000).str.contains(
         "xhtml", regex=False
     )
-    is_html = (
-        lowered.str.match(_HTML_RE)
-        | lowered.str.contains(_HTML_FRAGMENT_RE, regex=True)
-        | is_xhtml
-    )
+    is_html_full = lowered.str.match(_HTML_RE) | is_xhtml
+    is_md = head.str.contains(_MD_RE, regex=True)
+    is_html_frag = lowered.str.contains(_HTML_FRAGMENT_RE, regex=True)
 
     out = pd.Series(CT_PLAIN, index=texts.index, dtype="object")
-    out[is_html] = CT_HTML
+    # csv confirmation runs scalar csv.Sniffer only on prefiltered candidates
+    csv_cand = (
+        ~is_empty & ~is_pdf & ~is_html_full & ~is_md & ~is_html_frag
+        & head.str.match(_CSV_PREFILTER_RE)
+    )
+    if csv_cand.any():
+        confirmed = texts[csv_cand].map(lambda t: sniff_csv(t or ""))
+        out[confirmed[confirmed].index] = CT_CSV
+    out[is_html_frag] = CT_HTML
+    out[is_md] = CT_MARKDOWN
+    out[is_html_full] = CT_HTML
     out[is_pdf] = CT_PDF
     out[is_empty] = CT_EMPTY
     return out

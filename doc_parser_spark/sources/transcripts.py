@@ -147,12 +147,49 @@ def _garbage_payload(rng: random.Random) -> str:
     return "�� " + _sentence(rng, 3)
 
 
+def _md_payload(rng: random.Random) -> str:
+    parts = [f"# {_sentence(rng, 3).title()}"]
+    if rng.random() < 0.4:
+        parts.insert(0, _sentence(rng, 6))  # pre-heading furniture
+    for _ in range(rng.randint(1, 3)):
+        parts.append(f"## {_sentence(rng, 2).title()}")
+        parts.append(_sentence(rng, rng.randint(8, 16)) + ".")
+        r = rng.random()
+        if r < 0.25:
+            parts.append("\n".join(f"- {_sentence(rng, 4)}" for _ in range(3)))
+        elif r < 0.4:
+            parts.append(f"```\n{_sentence(rng, 5)}\n{_sentence(rng, 4)}\n```")
+        elif r < 0.5:
+            parts.append(
+                "| c0 | c1 |\n|---|---|\n"
+                + "\n".join(
+                    f"| {_sentence(rng, 2)} | {_sentence(rng, 2)} |"
+                    for _ in range(2)
+                )
+            )
+    return "\n\n".join(parts)
+
+
+def _csv_payload(rng: random.Random) -> str:
+    cols = rng.randint(2, 4)
+    header = ",".join(f"col{i}" for i in range(cols))
+    rows = [
+        ",".join(_sentence(rng, 1).replace(",", " ") for _ in range(cols))
+        for _ in range(rng.randint(2, 6))
+    ]
+    return "\n".join([header] + rows)
+
+
 def payload_for(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.40:
+    if r < 0.35:
         return _html_payload(rng)
-    if r < 0.80:
+    if r < 0.65:
         return _plain_payload(rng)
+    if r < 0.75:
+        return _md_payload(rng)
+    if r < 0.80:
+        return _csv_payload(rng)
     if r < 0.95:
         return _pdfish_payload(rng)
     return _garbage_payload(rng)

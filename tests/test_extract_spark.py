@@ -19,6 +19,9 @@ from doc_parser_spark.sources.sniff import sniff_text
 
 
 def _expected_text(text: str) -> str | None:
+    from doc_parser_spark.functions.csv_extract import extract_csv
+    from doc_parser_spark.functions.md_extract import extract_md
+
     ct = sniff_text(text)
     if ct == CT_EMPTY:
         return ""
@@ -26,6 +29,10 @@ def _expected_text(text: str) -> str | None:
         return extract_html(text)[0]
     if ct == "pdf":
         return extract_pdfish(text)[0]
+    if ct == "markdown":
+        return extract_md(text)[0]
+    if ct == "csv":
+        return extract_csv(text)[0]
     return extract_plain(text)[0]
 
 
