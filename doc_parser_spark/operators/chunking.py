@@ -102,4 +102,14 @@ def compose_vectors(chunks: DataFrame) -> DataFrame:
         (F.row_number().over(w_doc) - 1).cast("int").alias("i_chunk_on_doc"),
         F.count("*").over(w_doc_all).cast("int").alias("n_chunk_of_doc"),
         F.max("turn_idx").over(w_doc_all).cast("int").alias("n_page"),
+        # title = first heading seen in the conversation (the portable part
+        # of E4 metadata enrichment: facade/intelligent_processor.py:1253-1257)
+        F.first(
+            F.when(F.size("headings") > 0, F.element_at("headings", 1)),
+            ignorenulls=True,
+        ).over(
+            Window.partitionBy("conv_id")
+            .orderBy("turn_idx", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("title"),
     )

@@ -1031,3 +1031,105 @@ ORACLES.update(
         "events_tumbling": ORACLE_EVENTS_TUMBLING,
     }
 )
+
+
+# ===========================================================================
+# batch 3 — density-mode boilerplate, per-group top-k, JSON roundtrip
+# ===========================================================================
+
+# article with a link-dense nav AFTER the h1: the reference layer rule keeps
+# it (it is after the first heading); Arc90 density mode must drop it
+PAYLOAD_DENSITY = (
+    "'<html><body><h1>Doc ' || doc_id || '</h1>"
+    "<nav><ul><li><a href=\"#\">Home link</a></li>"
+    "<li><a href=\"#\">About link</a></li></ul></nav>"
+    "<p><a href=\"#\">pure link paragraph</a></p>"
+    "<p>' || text || '</p></body></html>'"
+)
+
+
+def q_b1_html_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_DENSITY).alias("text"),
+    )
+    out = extract_turns(docs, boilerplate_mode="density", route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+# density mode drops the nav items and the all-link paragraph; what remains
+# is the title and the article paragraph
+ORACLE_B1_DENSITY = """
+SELECT doc_id::BIGINT AS doc_id,
+       'Doc ' || doc_id || chr(10) || chr(10) || trim(text) AS extracted_text
+FROM documents
+"""
+
+
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (sort + limit per partition key): top-3 events by
+    value per user — row_number window + filter."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_EVENTS_TOPK = """
+SELECT user_id, event_id, round(value, 4) AS value, rk::INT AS rk
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def q_doc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17/O7: extraction → lossless JSON → parse back; output must equal
+    the direct extraction (the oracle mirrors q_b1_html_extract)."""
+    from doc_parser_spark.operators.export import from_doc_json, to_doc_json
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_HTML).alias("text"),
+    )
+    extracted = extract_turns(docs, route_partitions=8)
+    roundtripped = from_doc_json(to_doc_json(extracted))
+    return roundtripped.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+QUERIES.update(
+    {
+        "b1_html_density": q_b1_html_density,
+        "events_topk_per_user": q_events_topk_per_user,
+        "doc_json_roundtrip": q_doc_json_roundtrip,
+    }
+)
+
+ORACLES.update(
+    {
+        "b1_html_density": ORACLE_B1_DENSITY,
+        "events_topk_per_user": ORACLE_EVENTS_TOPK,
+        "doc_json_roundtrip": ORACLE_B1,
+    }
+)

@@ -100,3 +100,35 @@ class TestMultimodal:
         frames = sample_frames(media, every_n=5).toPandas()
         assert len(frames) > 0
         assert (frames["frame_idx"] % 5 == 0).all()
+
+
+class TestExport:
+    def test_json_roundtrip_lossless(self, spark, transcripts_pdf):
+        from doc_parser_spark.operators.export import from_doc_json, to_doc_json
+        from doc_parser_spark.operators.extract import extract_turns
+
+        extracted = extract_turns(
+            spark.createDataFrame(transcripts_pdf.head(80))
+        ).select(
+            "conv_id", "turn_idx", "content_type", "extracted_text",
+            "spans", "parse_status",
+        )
+        back = from_doc_json(to_doc_json(extracted))
+        a = extracted.orderBy("conv_id", "turn_idx").toPandas()
+        b = back.orderBy("conv_id", "turn_idx").toPandas()
+        assert a["extracted_text"].fillna("").tolist() == b[
+            "extracted_text"
+        ].fillna("").tolist()
+        assert a["parse_status"].tolist() == b["parse_status"].tolist()
+        sa = a["spans"].map(lambda s: None if s is None else [tuple(x) for x in s])
+        sb = b["spans"].map(lambda s: None if s is None else [tuple(x) for x in s])
+        assert sa.tolist() == sb.tolist()
+
+    def test_indented_text(self, spark, transcripts_pdf):
+        from doc_parser_spark.operators.export import indented_text
+        from doc_parser_spark.operators.extract import extract_turns
+
+        extracted = extract_turns(spark.createDataFrame(transcripts_pdf.head(50)))
+        ind = indented_text(extracted).toPandas()
+        html_rows = ind[ind["indented"].str.contains("\n  ", regex=False, na=False)]
+        assert len(html_rows) > 0
