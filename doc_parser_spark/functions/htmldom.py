@@ -179,8 +179,10 @@ _TOKEN_RE = __import__("re").compile(
     # tag-name charsets mirror html.parser's tagfind_tolerant/endtagfind
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"      # end tag        (group 1)
     r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"           # start tag name (group 2)
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"     # attrs blob     (group 3)
-    r"(/?)>"                                 # self-closing   (group 4)
+    # attrs blob: quoted pairs take precedence, bare/unmatched quotes pass
+    # through as plain chars (html.parser tolerates them as attr names)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*?)"       # attrs blob     (group 3, lazy
+    r"(/?)>"                                 # so group 4 sees the slash)
     r"|</[^>]*>",                            # bogus end tag → bogus comment
     __import__("re").DOTALL,
 )

@@ -24,6 +24,7 @@ def _dump(el, out):
     for c in el.children:
         if isinstance(c, htmldom.Element):
             _dump(c, out)
+            out.append(("end", c.name))  # close marker: nesting must match
         else:
             flags = (
                 getattr(c, "preformatted", False),
