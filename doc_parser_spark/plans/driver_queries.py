@@ -1133,3 +1133,102 @@ ORACLES.update(
         "doc_json_roundtrip": ORACLE_B1,
     }
 )
+
+
+# ===========================================================================
+# batch 4 — fallback-status accounting, cross-turn context vs oracle
+# ===========================================================================
+
+# payload classes with deterministic parse outcomes:
+#   %5==0 whitespace → skipped; %5==1 corrupt %PDF-SIM → partial_success
+#   (pdfish parser raises on the malformed page header, plain fallback wins);
+#   else well-formed html/plain → success
+PAYLOAD_STATUS = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN '  ' "
+    "WHEN 1 THEN '%PDF-SIM' || chr(10) || '#page X Y Z' || chr(10) || text "
+    "WHEN 2 THEN '<html><body><h1>T</h1><p>' || text || '</p></body></html>' "
+    "ELSE text END"
+)
+
+
+def q_r4_status_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_STATUS).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.groupBy("content_type", "parse_status").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+ORACLE_R4_STATUS = """
+SELECT content_type, parse_status, count(*) AS cnt FROM (
+  SELECT CASE doc_id % 5
+           WHEN 0 THEN 'empty' WHEN 1 THEN 'pdf'
+           WHEN 2 THEN 'html' ELSE 'plain' END AS content_type,
+         CASE doc_id % 5
+           WHEN 0 THEN 'skipped' WHEN 1 THEN 'partial_success'
+           ELSE 'success' END AS parse_status
+  FROM documents
+) GROUP BY content_type, parse_status
+"""
+
+
+# cross-turn heading context: conversations of 20 turns; every third turn
+# carries an <h1>; active_title must be the latest such title
+PAYLOAD_CONTEXT = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN '<h1>Title ' || doc_id || '</h1><p>body</p>' "
+    "ELSE 'plain turn body' END"
+)
+
+
+def q_c1_cross_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.conversation import (
+        with_conversation_context,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 20).cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / 20).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_CONTEXT).alias("text"),
+    )
+    extracted = extract_turns(docs, route_partitions=8)
+    return with_conversation_context(extracted).select(
+        "conv_id", "turn_idx", "active_title"
+    )
+
+
+ORACLE_C1_CONTEXT = """
+WITH turns AS (
+  SELECT 'conv-' || (doc_id % 20) AS conv_id,
+         (doc_id // 20)::INT AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN 'Title ' || doc_id END AS title
+  FROM documents
+)
+SELECT conv_id, turn_idx,
+       last_value(title IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_title
+FROM turns
+"""
+
+
+QUERIES.update(
+    {
+        "r4_status_fallback": q_r4_status_fallback,
+        "c1_cross_turn_context": q_c1_cross_turn_context,
+    }
+)
+
+ORACLES.update(
+    {
+        "r4_status_fallback": ORACLE_R4_STATUS,
+        "c1_cross_turn_context": ORACLE_C1_CONTEXT,
+    }
+)
