@@ -10,8 +10,13 @@ North-rule requirements covered here:
   buckets without a committed manifest row;
 - stable (conv_id, turn_idx) ordering within each written bucket.
 
-At cluster scale the parquet writes become Iceberg table appends; the
-manifest becomes an Iceberg snapshot/summary — the control flow is identical.
+Scale shape: ONE pass over the input — extraction rows stream from the
+routing shuffle through one bucket-clustering shuffle straight into the
+parquet writer (no cache of the corpus; caching the output was the first
+design and dies at 100 TB). Every row carries ``job_run_id`` / ``n_bytes_in``
+/ ``proc_us`` lineage columns, so per-bucket metrics aggregate from the
+(column-pruned) written files afterwards. At cluster scale the writes become
+Iceberg appends and the manifest an Iceberg snapshot summary.
 """
 
 from __future__ import annotations
@@ -36,6 +41,10 @@ def _metrics_path(output_path: str) -> str:
     return os.path.join(output_path, "_metrics")
 
 
+def _extracted_path(output_path: str) -> str:
+    return os.path.join(output_path, "extracted")
+
+
 def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
     """Read the commit manifest if it exists → DataFrame[bucket_id]."""
     path = _manifest_path(output_path)
@@ -55,7 +64,7 @@ def run_extraction_job(
     resume: bool = True,
     route_partitions: int | None = None,
 ) -> dict:
-    """Run the full pipeline; returns a summary dict (rows, buckets, wall_s)."""
+    """Run the full pipeline; returns a summary dict (rows, wall_s, tps)."""
     job_run_id = job_run_id or uuid.uuid4().hex[:12]
     t0 = time.perf_counter()
 
@@ -72,50 +81,61 @@ def run_extraction_job(
                 how="left_anti",
             )
 
-    extracted = extract_turns(
-        work,
-        boilerplate_mode=boilerplate_mode,
-        route_partitions=route_partitions,
-        keep_metrics_cols=True,
-    ).withColumn("bucket_id", bucket_id("conv_id", n_buckets))
-
-    # one shuffle: cluster rows by storage bucket, stable order within files
-    final = (
-        extracted.repartition(F.col("bucket_id"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .cache()
+    extracted = (
+        extract_turns(
+            work,
+            boilerplate_mode=boilerplate_mode,
+            route_partitions=route_partitions,
+            keep_metrics_cols=True,
+        )
+        .withColumnRenamed("_n_bytes", "n_bytes_in")
+        .withColumnRenamed("_proc_us", "proc_us")
+        .withColumn("bucket_id", bucket_id("conv_id", n_buckets))
+        .withColumn("job_run_id", F.lit(job_run_id))
     )
 
-    out_rows = final.count()
-    if out_rows > 0:
-        (
-            final.drop("_n_bytes", "_proc_us")
-            .write.mode("append")
-            .partitionBy("bucket_id")
-            .parquet(os.path.join(output_path, "extracted"))
-        )
+    # single pass: cluster by storage bucket, stable order, write.
+    # the sort MUST lead with bucket_id: the dynamic-partition writer
+    # requires ordering by the partition columns and would otherwise insert
+    # its own (non-stable) sort, destroying (conv_id, turn_idx) order
+    (
+        extracted.repartition(F.col("bucket_id"))
+        .sortWithinPartitions("bucket_id", "conv_id", "turn_idx")
+        .write.mode("append")
+        .partitionBy("bucket_id")
+        .parquet(_extracted_path(output_path))
+    )
 
-        metrics = (
-            final.groupBy("bucket_id")
-            .agg(
-                F.count("*").alias("docs_parsed"),
-                F.sum("_n_bytes").alias("bytes_processed"),
-                F.sum(
-                    F.when(F.col("parse_status") == "failure", 1).otherwise(0)
-                ).alias("parse_failures"),
-                (F.sum("_proc_us") / 1000).cast("long").alias("wall_ms"),
-            )
-            .withColumn("job_run_id", F.lit(job_run_id))
-            .withColumnRenamed("bucket_id", "partition_id")
+    # metrics from the written files, THIS run only (column-pruned scan of
+    # the lineage columns; job_run_id rows are the run's lineage)
+    written = spark.read.parquet(_extracted_path(output_path)).where(
+        F.col("job_run_id") == job_run_id
+    )
+    metrics = (
+        written.groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("docs_parsed"),
+            F.sum("n_bytes_in").alias("bytes_processed"),
+            F.sum(
+                F.when(F.col("parse_status") == "failure", 1).otherwise(0)
+            ).alias("parse_failures"),
+            (F.sum("proc_us") / 1000).cast("long").alias("wall_ms"),
         )
+        .withColumn("job_run_id", F.lit(job_run_id))
+        .withColumnRenamed("bucket_id", "partition_id")
+    ).cache()
+    out_rows = int(
+        metrics.agg(F.coalesce(F.sum("docs_parsed"), F.lit(0))).first()[0]
+    )
+    if out_rows > 0:
         metrics.write.mode("append").parquet(_metrics_path(output_path))
         # the manifest commit is the LAST step: a bucket is resumable-skipped
         # only after its data + metrics are durably written
         metrics.select("partition_id", "job_run_id").write.mode("append").parquet(
             _manifest_path(output_path)
         )
+    metrics.unpersist()
 
-    final.unpersist()
     wall_s = time.perf_counter() - t0
     return {
         "job_run_id": job_run_id,
@@ -126,7 +146,7 @@ def run_extraction_job(
 
 
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(output_path, "extracted"))
+    return spark.read.parquet(_extracted_path(output_path))
 
 
 def read_metrics(spark: SparkSession, output_path: str) -> DataFrame:
