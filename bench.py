@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "o6_confidence_agg",
     "o3_interval_merge",
     "events_sessionize",
+    "pricing_summary",
+    "monthly_revenue",
 ]
 
 

@@ -106,7 +106,7 @@ class Element:
 
     def _collect_text(self, parts: list[str]) -> None:
         for child in self.children:
-            if isinstance(child, Element):
+            if child.__class__ is Element:
                 child._collect_text(parts)
             elif not getattr(child, "is_comment", False):
                 parts.append(str(child))

@@ -1232,3 +1232,83 @@ ORACLES.update(
         "c1_cross_turn_context": ORACLE_C1_CONTEXT,
     }
 )
+
+
+# ===========================================================================
+# batch 5 — scale-bearing relational queries over lineitem/orders
+# (the largest driver tables: 600k/150k rows at sf0.1)
+# ===========================================================================
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: wide scan → hash aggregate with
+    map-side combine; the columns not aggregated are pruned at the scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join lineitem ⋈ orders (both large → sort-merge/shuffled hash
+    under AQE) + month rollup."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_MONTHLY_REVENUE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "pricing_summary": q_pricing_summary,
+        "monthly_revenue": q_monthly_revenue,
+    }
+)
+ORACLES.update(
+    {
+        "pricing_summary": ORACLE_PRICING,
+        "monthly_revenue": ORACLE_MONTHLY_REVENUE,
+    }
+)
