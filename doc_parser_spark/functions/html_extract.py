@@ -480,17 +480,21 @@ def extract_html_items(
     items = walker.items
 
     if boilerplate_mode == "density":
+        # Arc90-readability-style block scoring: a content block is
+        # boilerplate when it lives in a nav/header/footer/aside container,
+        # when its text is mostly link text (link density > 0.5), or when it
+        # is short AND link-heavy (< 25 words and link density > 0.33) — the
+        # classic menu/related-links signature
         for item in items:
             if item.layer != BODY:
                 continue
             if item.in_boilerplate_container:
                 item.layer = FURNITURE
-            elif (
-                item.label in (LABEL_TEXT, LABEL_LIST_ITEM)
-                and len(item.text) > 0
-                and item.link_chars / max(len(item.text), 1) > 0.5
-            ):
-                item.layer = FURNITURE
+            elif item.label in (LABEL_TEXT, LABEL_LIST_ITEM) and item.text:
+                density = item.link_chars / len(item.text)
+                n_words = len(item.text.split())
+                if density > 0.5 or (n_words < 25 and density > 0.33):
+                    item.layer = FURNITURE
     return items
 
 

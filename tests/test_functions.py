@@ -350,3 +350,24 @@ class TestPdfish:
         text, spans = extract_pdfish(payload)
         assert text == "page one text\n\npage two text"
         assert [s[3] for s in spans] == [1, 2]
+
+
+class TestDensityScoring:
+    def test_short_linky_block_dropped(self):
+        html = (
+            "<body><h1>T</h1>"
+            '<p>see <a href="#">here</a> and <a href="#">there</a> now</p>'
+            "<p>a genuinely long article paragraph with many words that "
+            'mentions <a href="#">one link</a> but is mostly real prose '
+            "content going on and on about the subject at hand in detail"
+            "</p></body>"
+        )
+        den, _ = extract_html(html, boilerplate_mode="density")
+        assert "see" not in den  # short + link-heavy → furniture
+        assert "genuinely long article" in den  # long, low density → kept
+
+    def test_long_low_density_kept_even_with_links(self):
+        words = " ".join(["word"] * 40)
+        html = f'<body><h1>T</h1><p>{words} <a href="#">x</a></p></body>'
+        den, _ = extract_html(html, boilerplate_mode="density")
+        assert "word word" in den
