@@ -97,3 +97,68 @@ def ann_lsh_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: fixed deterministic centroids, cluster assignment by
+# nearest centroid, query probes one cluster
+# ---------------------------------------------------------------------------
+def ivf_assignments(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (1 probe).
+
+    centroids: (centroid_id, cvec). At scale this is ONE broadcast join —
+    the vector table never shuffles; the cluster id becomes a partition
+    column so a query reads a single partition.
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        vec_col,
+        "centroid_id",
+        F.round(F.expr(COS_EXPR.format(a=vec_col, b="cvec")), 4).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ANN via IVF: search only the query's nearest centroid's cluster."""
+    assigned = ivf_assignments(df, id_col, vec_col, centroids)
+    qc = (
+        ivf_assignments(
+            query_df.select(F.lit(-1).alias("qid"), F.col("qvec")),
+            "qid",
+            "qvec",
+            centroids,
+        )
+        .select(F.col("centroid_id").alias("qcentroid"), "qvec")
+    )
+    cand = assigned.join(
+        F.broadcast(qc), F.col("centroid_id") == F.col("qcentroid")
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(F.expr(COS_EXPR.format(a=vec_col, b="qvec")), 4).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

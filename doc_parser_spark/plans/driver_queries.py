@@ -1312,3 +1312,104 @@ ORACLES.update(
         "monthly_revenue": ORACLE_MONTHLY_REVENUE,
     }
 )
+
+
+# ===========================================================================
+# batch 6 — embedding-cosine near-dup + IVF ANN with full SQL oracles
+# ===========================================================================
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3, a<b) — the embedding
+    variant of near-duplicate detection. Brute force is the baseline; at
+    scale the IVF/LSH bucket join replaces the cross join."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    from doc_parser_spark.operators.similarity import COS_EXPR
+
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos", F.round(F.expr(COS_EXPR.format(a="va", b="vb")), 4)
+        )
+        .where(F.col("cos") >= 0.3)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      b.embedding::DOUBLE[]), 4) >= 0.3
+"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed centroids: every 50th vector."""
+    return (
+        _embeddings(spark, sf_dir)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
+        _centroids(spark, sf_dir), k=10,
+    )
+
+
+ORACLE_SIM_IVF = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 4) DESC,
+               c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+qc AS (
+  SELECT centroid_id AS qcentroid FROM assigned WHERE vec_id = 0
+)
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+             4) AS score
+FROM assigned a JOIN qc ON a.centroid_id = qc.qcentroid
+ORDER BY score DESC, a.vec_id
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_ivf_topk": q_sim_ivf_topk,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+        "sim_ivf_topk": ORACLE_SIM_IVF,
+    }
+)
