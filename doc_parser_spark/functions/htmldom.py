@@ -44,14 +44,13 @@ class TextNode(str):
 
 
 class Element:
-    __slots__ = ("name", "_attrs", "_attr_blob", "children", "parent")
+    __slots__ = ("name", "_attrs", "_attr_blob", "children")
 
     def __init__(self, name: str, attrs: Optional[dict] = None) -> None:
         self.name = name
         self._attrs = attrs if attrs is not None else {}
         self._attr_blob: Optional[str] = None
         self.children: list[Union["Element", TextNode]] = []
-        self.parent: Optional["Element"] = None
 
     @property
     def attrs(self) -> dict:
@@ -63,8 +62,6 @@ class Element:
 
     # -- tree ops ----------------------------------------------------------
     def append(self, node: Union["Element", TextNode]) -> None:
-        if isinstance(node, Element):
-            node.parent = self
         self.children.append(node)
 
     def get(self, key: str, default=None):
@@ -79,19 +76,32 @@ class Element:
                 yield from child.iter_elements()
 
     def find(self, names) -> Optional["Element"]:
+        """First matching descendant in DOCUMENT order (bs4 find)."""
         if isinstance(names, str):
             names = (names,)
-        names = frozenset(names)
-        for el in self.iter_elements():
+        nodes = [c for c in reversed(self.children) if c.__class__ is Element]
+        while nodes:
+            el = nodes.pop()
             if el.name in names:
                 return el
+            nodes.extend(
+                c for c in reversed(el.children) if c.__class__ is Element
+            )
         return None
 
     def find_all(self, names) -> list["Element"]:
         if isinstance(names, str):
             names = (names,)
-        names = frozenset(names)
-        return [el for el in self.iter_elements() if el.name in names]
+        out: list[Element] = []
+        nodes = [c for c in reversed(self.children) if c.__class__ is Element]
+        while nodes:
+            el = nodes.pop()
+            if el.name in names:
+                out.append(el)
+            nodes.extend(
+                c for c in reversed(el.children) if c.__class__ is Element
+            )
+        return out
 
     @property
     def text(self) -> str:
@@ -251,9 +261,7 @@ def parse_html(markup: str) -> Element:
                 )
             )
         pos = m.end()
-        end_name, start_name, attr_blob, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4),
-        )
+        end_name, start_name, attr_blob, selfclose = m.group(1, 2, 3, 4)
         if start_name is not None:
             tag = start_name.lower()
             el = Element(tag)
