@@ -63,6 +63,7 @@ def run_extraction_job(
     job_run_id: str | None = None,
     resume: bool = True,
     route_partitions: int | None = None,
+    routing: str = "shuffle",
 ) -> dict:
     """Run the full pipeline; returns a summary dict (rows, wall_s, tps)."""
     job_run_id = job_run_id or uuid.uuid4().hex[:12]
@@ -81,11 +82,17 @@ def run_extraction_job(
                 how="left_anti",
             )
 
+    # routing="shuffle": one exchange on (content_type, conv_id, turn_idx)
+    #   before the parse — content-homogeneous batches + whale salting.
+    # routing="none": extract directly on scan partitions — the bucket
+    #   write below is then the job's ONLY full exchange. Right when the
+    #   source already yields well-sized splits (Iceberg) and payload mix
+    #   within a split is acceptable; wrong when input files are few/skewed.
     extracted = (
         extract_turns(
             work,
             boilerplate_mode=boilerplate_mode,
-            route_partitions=route_partitions,
+            route_partitions=0 if routing == "none" else route_partitions,
             keep_metrics_cols=True,
         )
         .withColumnRenamed("_n_bytes", "n_bytes_in")

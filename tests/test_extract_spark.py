@@ -190,3 +190,26 @@ class TestPipelineJob:
         for _, grp in pdf.groupby("bucket_id"):
             keys = list(zip(grp["conv_id"], grp["turn_idx"]))
             assert keys == sorted(keys)
+
+
+class TestRoutingModes:
+    def test_single_shuffle_mode_same_results(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.plans.pipeline import read_extracted, run_extraction_job
+
+        df = spark.createDataFrame(transcripts_pdf)
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        run_extraction_job(spark, df, a, n_buckets=4, job_run_id="r1")
+        run_extraction_job(spark, df, b, n_buckets=4, job_run_id="r2", routing="none")
+        pa = (
+            read_extracted(spark, a)
+            .select("conv_id", "turn_idx", "extracted_text", "parse_status")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        pb = (
+            read_extracted(spark, b)
+            .select("conv_id", "turn_idx", "extracted_text", "parse_status")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        assert pa.equals(pb)
