@@ -188,7 +188,10 @@ def extract_turns(
     content-homogeneous + salted against whale conversations — then runs the
     Arrow-batched extraction.
     """
-    typed = with_content_type(df)
+    # explicit projection: Catalyst cannot prune through mapInPandas (the
+    # UDF is a black box receiving every child column), so unused transcript
+    # columns (role/tool/ts) would otherwise be scanned AND shuffled
+    typed = with_content_type(df.select("conv_id", "turn_idx", "text"))
     if route_partitions == 0:
         pass  # no routing shuffle (streaming micro-batches are pre-split)
     elif route_partitions:
