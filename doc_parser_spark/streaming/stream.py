@@ -64,8 +64,13 @@ def turn_rate_stream(
 ) -> DataFrame:
     """Windowed event-time aggregation with late-data handling: turns per
     (window, role). Append-mode-compatible (watermarked)."""
+    # group on window(...) itself — projecting .start inside the groupBy
+    # severs the event-time/watermark link and append mode rejects the plan
     return (
         transcripts.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).start.alias("window_start"), "role")
+        .groupBy(F.window("ts", window), "role")
         .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"), "role", "n_turns"
+        )
     )

@@ -132,3 +132,79 @@ class TestExport:
         ind = indented_text(extracted).toPandas()
         html_rows = ind[ind["indented"].str.contains("\n  ", regex=False, na=False)]
         assert len(html_rows) > 0
+
+
+class TestWatermark:
+    def test_window_emits_after_watermark_passes(self, spark, tmp_path):
+        """Append-mode windowed aggregation: a window's row is emitted only
+        once the watermark (max event time - 2h) passes its end; late turns
+        beyond the watermark are dropped."""
+        import pandas as pd
+        from doc_parser_spark.datamodel import TRANSCRIPT_SCHEMA
+        from doc_parser_spark.streaming.stream import turn_rate_stream
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write(name, ts_list):
+            pdf = pd.DataFrame(
+                {
+                    "conv_id": [f"c{i}" for i in range(len(ts_list))],
+                    "turn_idx": range(len(ts_list)),
+                    "role": "user",
+                    "text": "x",
+                    "tool": None,
+                    "ts": [pd.Timestamp(t) for t in ts_list],
+                }
+            )
+            pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+            pdf["tool"] = pdf["tool"].astype("string")
+            pdf.to_parquet(
+                str(inp / name), index=False,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+
+        def drain():
+            stream = turn_rate_stream(
+                spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(inp))
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            try:
+                return spark.read.parquet(out).toPandas()
+            except Exception:
+                return pd.DataFrame(columns=["window_start", "role", "n_turns"])
+
+        # batch 1: three turns in the 10:00 window; watermark stays at 08:00
+        write("b1.parquet", ["2026-01-01 10:00:00", "2026-01-01 10:30:00",
+                             "2026-01-01 10:45:00"])
+        first = drain()
+        assert len(first) == 0  # 10:00 window not closed yet
+
+        # batch 2: an event at 13:30 pushes the watermark to 11:30 —
+        # the 10:00 window closes and emits exactly its 3 turns
+        write("b2.parquet", ["2026-01-01 13:30:00"])
+        second = drain()
+        assert len(second) == 1
+        assert second.iloc[0]["n_turns"] == 3
+
+        # batch 3: a LATE turn for the already-closed 10:00 window plus a
+        # watermark push — the late turn must be dropped, never re-emitted
+        write("b3.parquet", ["2026-01-01 10:10:00", "2026-01-01 16:00:00"])
+        third = drain()
+        emitted_10 = third[
+            third["window_start"].astype(str).str.contains("10:00:00")
+        ]
+        assert len(emitted_10) == 1
+        assert emitted_10.iloc[0]["n_turns"] == 3  # late turn dropped
