@@ -79,6 +79,12 @@ def with_content_type(df: DataFrame) -> DataFrame:
     return df.withColumn("content_type", _sniff(F.col("text")))
 
 
+# size limit (S2 analog, document.py:116-206 limits + R5 time budget): a
+# pathological multi-MB turn skips the structural parse (quadratic-ish DOM
+# costs) and takes the cheap paragraph path with partial status
+MAX_PARSE_BYTES = 4 * 1024 * 1024
+
+
 def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     """Per-document extraction with the R4-style fallback chain.
 
@@ -86,6 +92,9 @@ def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     """
     if content_type == CT_EMPTY:
         return "", [], STATUS_SKIPPED
+    if len(text) > MAX_PARSE_BYTES and content_type != CT_PLAIN:
+        extracted, spans = extract_plain(text)
+        return extracted, spans, STATUS_PARTIAL
     extractor = _EXTRACTORS.get(content_type, extract_plain)
     try:
         if extractor is extract_html:

@@ -213,3 +213,31 @@ class TestRoutingModes:
             .toPandas()
         )
         assert pa.equals(pb)
+
+
+class TestSizeGuard:
+    def test_oversize_turn_takes_cheap_path(self, spark):
+        from doc_parser_spark.operators.extract import MAX_PARSE_BYTES
+
+        huge_html = "<html><body><h1>T</h1><p>" + ("word " * (MAX_PARSE_BYTES // 4)) + "</p></body></html>"
+        small_html = "<html><body><h1>T</h1><p>small</p></body></html>"
+        rows = pd.DataFrame(
+            {
+                "conv_id": ["big", "small"],
+                "turn_idx": [0, 0],
+                "role": "user",
+                "text": [huge_html, small_html],
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+        )
+        out = (
+            extract_turns(spark.createDataFrame(rows))
+            .orderBy("conv_id")
+            .toPandas()
+        )
+        big, small = out.iloc[0], out.iloc[1]
+        assert big["parse_status"] == "partial_success"
+        assert big["extracted_text"].startswith("<html>")  # plain path
+        assert small["parse_status"] == "success"
+        assert small["extracted_text"] == "T\n\nsmall"
