@@ -153,44 +153,92 @@ def extract_pdfish(
     if not cells:
         return "", []
 
-    # per-page: group rows, merge cells, classify furniture, sort
-    lines: list[tuple[int, float, float, str, str]] = []  # page, top, h, label, text
+    # per-page: group rows, merge cells, classify furniture, detect columns,
+    # emit reading-ordered lines: (page, band, top, height, label, text)
+    lines: list[tuple[int, int, float, float, str, str]] = []
     for page in sorted({c.page for c in cells}):
         page_cells = [c for c in cells if c.page == page]
         _, page_h = pages.get(page, (612.0, 792.0))
         rows = group_rows(page_cells)
-        for row in rows:
-            merged = merge_row(row)
-            top = min(c.y0 for c in merged)
-            bottom = max(c.y1 for c in merged)
+
+        # merged segments per visual row; segment = a run of close cells
+        row_segs: list[list[Cell]] = [merge_row(row) for row in rows]
+
+        def _label(top: float, bottom: float) -> str:
             center = (top + bottom) / 2
-            text = " ".join(c.text for c in sorted(merged, key=lambda c: c.x0))
             if center < page_h * HEADER_BAND:
-                label = LABEL_PAGE_HEADER
-            elif center > page_h * FOOTER_BAND:
-                label = LABEL_PAGE_FOOTER
+                return LABEL_PAGE_HEADER
+            if center > page_h * FOOTER_BAND:
+                return LABEL_PAGE_FOOTER
+            return LABEL_PARAGRAPH
+
+        # column detection (P4/P7 analog): cluster body-segment x-intervals
+        # into disjoint bands; 2+ well-populated bands → multi-column page
+        body_segs = [
+            s
+            for segs in row_segs
+            for s in segs
+            if _label(s.y0, s.y1) == LABEL_PARAGRAPH
+        ]
+        bands: list[list[float]] = []  # [x0, x1] merged intervals
+        for s in sorted(body_segs, key=lambda c: c.x0):
+            if bands and s.x0 <= bands[-1][1]:
+                bands[-1][1] = max(bands[-1][1], s.x1)
             else:
-                label = LABEL_PARAGRAPH
-            lines.append((page, top, bottom - top, label, text))
+                bands.append([s.x0, s.x1])
+        multi_column = 2 <= len(bands) <= 4 and all(
+            sum(1 for s in body_segs if b[0] <= s.x0 <= b[1]) >= 2
+            for b in bands
+        )
 
-    lines.sort(key=lambda r: (r[0], r[1]))
+        def band_of(x0: float) -> int:
+            for i, b in enumerate(bands):
+                if b[0] <= x0 <= b[1]:
+                    return i
+            return 0
 
-    # paragraph assembly over body lines
+        if multi_column:
+            # one line per segment, ordered (band, top): left column first
+            for segs in row_segs:
+                for s in segs:
+                    lines.append(
+                        (
+                            page,
+                            band_of(s.x0),
+                            s.y0,
+                            s.y1 - s.y0,
+                            _label(s.y0, s.y1),
+                            s.text,
+                        )
+                    )
+        else:
+            # single column: the whole visual row is one line (x-ordered)
+            for segs in row_segs:
+                top = min(c.y0 for c in segs)
+                bottom = max(c.y1 for c in segs)
+                text = " ".join(
+                    c.text for c in sorted(segs, key=lambda c: c.x0)
+                )
+                lines.append(
+                    (page, 0, top, bottom - top, _label(top, bottom), text)
+                )
+
+    lines.sort(key=lambda r: (r[0], r[1], r[2]))
+
+    # paragraph assembly over body lines; a page or column-band switch
+    # always breaks the paragraph
     paragraphs: list[tuple[str, int]] = []  # (text, page)
     buf: list[str] = []
     buf_page = 0
     prev_bottom = None
     prev_height = 0.0
-    prev_page = None
-    for page, top, height, label, text in lines:
+    prev_key: tuple[int, int] | None = None
+    for page, band, top, height, label, text in lines:
         if label != LABEL_PARAGRAPH:
             continue
-        gap_break = (
-            prev_page is not None
-            and (
-                page != prev_page
-                or top - prev_bottom > max(height, prev_height) * PARAGRAPH_GAP_FACTOR
-            )
+        gap_break = prev_key is not None and (
+            (page, band) != prev_key
+            or top - prev_bottom > max(height, prev_height) * PARAGRAPH_GAP_FACTOR
         )
         if gap_break and buf:
             paragraphs.append((sanitize_text(buf), buf_page))
@@ -200,7 +248,7 @@ def extract_pdfish(
         buf.append(text)
         prev_bottom = top + height
         prev_height = height
-        prev_page = page
+        prev_key = (page, band)
     if buf:
         paragraphs.append((sanitize_text(buf), buf_page))
 

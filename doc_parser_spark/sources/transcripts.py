@@ -111,6 +111,18 @@ def _pdfish_payload(rng: random.Random) -> str:
         # header band
         if rng.random() < 0.7:
             lines.append(f"72.0 20.0 300.0 32.0 Confidential Report p{page}")
+        if rng.random() < 0.25:
+            # two-column page: left/right bands, ≥2 lines each
+            y = 80.0
+            for _ in range(rng.randint(2, 4)):
+                lines.append(
+                    f"50.0 {y:.1f} 280.0 {y + 12:.1f} {_sentence(rng, 4)}"
+                )
+                lines.append(
+                    f"320.0 {y:.1f} 560.0 {y + 12:.1f} {_sentence(rng, 4)}"
+                )
+                y += 14.0
+            continue
         y = 80.0
         for _ in range(rng.randint(2, 5)):
             n_lines = rng.randint(1, 4)

@@ -371,3 +371,39 @@ class TestDensityScoring:
         html = f'<body><h1>T</h1><p>{words} <a href="#">x</a></p></body>'
         den, _ = extract_html(html, boilerplate_mode="density")
         assert "word word" in den
+
+
+class TestPdfishColumns:
+    TWO_COL = "\n".join(
+        [
+            "%PDF-SIM",
+            "#page 1 612.0 792.0",
+            # left column (x 50-280), right column (x 320-560): same y rows
+            "50.0 100.0 280.0 112.0 left column first line",
+            "320.0 100.0 560.0 112.0 right column first line",
+            "50.0 114.0 280.0 126.0 left column second line",
+            "320.0 114.0 560.0 126.0 right column second line",
+        ]
+    )
+
+    def test_two_column_reading_order(self):
+        text, spans = extract_pdfish(self.TWO_COL)
+        assert text == (
+            "left column first line left column second line"
+            "\n\n"
+            "right column first line right column second line"
+        )
+
+    def test_single_column_row_join_unchanged(self):
+        # two far-apart cells but only ONE per band → not multi-column;
+        # the visual row joins left-to-right (previous behavior)
+        payload = "\n".join(
+            [
+                "%PDF-SIM",
+                "#page 1 612.0 792.0",
+                "50.0 100.0 200.0 112.0 alpha",
+                "400.0 100.0 560.0 112.0 beta",
+            ]
+        )
+        text, _ = extract_pdfish(payload)
+        assert text == "alpha beta"
