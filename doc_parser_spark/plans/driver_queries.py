@@ -1413,3 +1413,60 @@ ORACLES.update(
         "sim_ivf_topk": ORACLE_SIM_IVF,
     }
 )
+
+
+# ===========================================================================
+# batch 7 — span/items-level verification (O2 analog)
+# ===========================================================================
+PAYLOAD_ITEMS = (
+    "'<html><body><h1>Doc ' || doc_id || '</h1><p>' || substr(text, 1, 60) "
+    "|| '</p><p>' || substr(text, 61) || '</p></body></html>'"
+)
+
+
+def q_o2_items_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode extraction spans to one row per item: verifies labels and
+    per-item text slices, not just the concatenated output."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_ITEMS).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    exploded = out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("item_idx", "s"),
+        "extracted_text",
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("item_idx").cast("int").alias("item_idx"),
+        F.col("s.label").alias("label"),
+        F.expr(
+            "substring(extracted_text, s.start + 1, s.end - s.start)"
+        ).alias("item_text"),
+    )
+
+
+# expected items by construction: title, then each non-empty trimmed <p>
+ORACLE_O2_ITEMS = """
+WITH items AS (
+  SELECT doc_id, 'title' AS label, 'Doc ' || doc_id AS item_text, 0 AS ord
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'text', trim(substr(text, 1, 60)), 1 FROM documents
+  WHERE trim(substr(text, 1, 60)) <> ''
+  UNION ALL
+  SELECT doc_id, 'text', trim(substr(text, 61)), 2 FROM documents
+  WHERE trim(substr(text, 61)) <> ''
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INT
+         AS item_idx,
+       label, item_text
+FROM items
+"""
+
+
+QUERIES["o2_items_table"] = q_o2_items_table
+ORACLES["o2_items_table"] = ORACLE_O2_ITEMS
