@@ -99,6 +99,27 @@ def _bench_extraction(transcripts_path: str, cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _per_type_breakdown(transcripts_path: str, sample: int = 1500) -> dict:
+    """Single-core kernel turns/sec per content type (deterministic sample)."""
+    import pandas as pd
+
+    from doc_parser_spark.operators.extract import _extract_one
+    from doc_parser_spark.sources.sniff import sniff_series
+
+    pdf = pd.read_parquet(transcripts_path, columns=["text"])
+    cts = sniff_series(pdf["text"])
+    out = {}
+    for ct in ["html", "plain", "pdf", "markdown", "csv"]:
+        texts = pdf.loc[cts == ct, "text"].iloc[:sample].tolist()
+        if not texts:
+            continue
+        t0 = time.perf_counter()
+        for t in texts:
+            _extract_one(ct, t or "", "reference")
+        out[ct] = round(len(texts) / (time.perf_counter() - t0), 1)
+    return out
+
+
 def _burn(_):
     x = 0
     for i in range(8_000_000):
@@ -152,6 +173,7 @@ def main() -> None:
         )
 
     dvfs = _dvfs_probe(SCALE_N, CPUS)
+    per_type = _per_type_breakdown(transcripts_path)
 
     # --- headline driver queries at SF_DIR ---
     spark = _make_session(CPUS)
@@ -178,6 +200,7 @@ def main() -> None:
         "n": SCALE_N,
         "efficiency_4n_to_full": round(eff_full, 4) if eff_full else None,
         "dvfs_ceiling_probe": dvfs,
+        "per_type_kernel_tps_1core": per_type,
         "turns": full["turns"],
     }
 
@@ -206,7 +229,10 @@ def main() -> None:
             f"{dvfs['low']} as {dvfs['wall_high']}s vs {dvfs['wall_low']}s "
             f"per equal task — a same-die ceiling of {dvfs['ceiling']:.3f} "
             "that a real N→4N executor scale-out (adding machines) does not "
-            "pay.\n\nper-query seconds:\n\n"
+            "pay.\n\nper-content-type kernel throughput (single core, "
+            "turns/sec): "
+            + ", ".join(f"{k}={v}" for k, v in per_type.items())
+            + "\n\nper-query seconds:\n\n"
             + "\n".join(f"- {k}: {v}" for k, v in query_secs.items())
             + "\n"
         )
