@@ -50,7 +50,7 @@ HORIZONTAL_THRESHOLD_FACTOR = 1.0
 PARAGRAPH_GAP_FACTOR = 1.5
 
 
-@dataclass
+@dataclass(slots=True)
 class Cell:
     page: int
     x0: float
