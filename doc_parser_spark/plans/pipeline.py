@@ -45,6 +45,17 @@ def _extracted_path(output_path: str) -> str:
     return os.path.join(output_path, "extracted")
 
 
+def _read_manifest_meta(spark: SparkSession, output_path: str) -> int | None:
+    """n_buckets recorded by prior runs (None if no manifest yet)."""
+    try:
+        row = spark.read.parquet(_manifest_path(output_path)).select(
+            "n_buckets"
+        ).first()
+        return int(row[0]) if row else None
+    except Exception:
+        return None
+
+
 def completed_buckets(spark: SparkSession, output_path: str) -> DataFrame | None:
     """Read the commit manifest if it exists → DataFrame[bucket_id]."""
     path = _manifest_path(output_path)
@@ -72,6 +83,13 @@ def run_extraction_job(
     work = transcripts.withColumn("bucket_id", bucket_id("conv_id", n_buckets))
 
     if resume:
+        # resume across runs is only sound with a stable bucket function
+        prior = _read_manifest_meta(spark, output_path)
+        if prior is not None and prior != n_buckets:
+            raise ValueError(
+                f"output at {output_path} was written with n_buckets={prior}; "
+                f"resume with the same value (got {n_buckets})"
+            )
         done = completed_buckets(spark, output_path)
         if done is not None:
             # manifest is tiny (≤ n_buckets rows) → broadcast anti-join,
@@ -138,9 +156,9 @@ def run_extraction_job(
         metrics.write.mode("append").parquet(_metrics_path(output_path))
         # the manifest commit is the LAST step: a bucket is resumable-skipped
         # only after its data + metrics are durably written
-        metrics.select("partition_id", "job_run_id").write.mode("append").parquet(
-            _manifest_path(output_path)
-        )
+        metrics.select("partition_id", "job_run_id").withColumn(
+            "n_buckets", F.lit(n_buckets)
+        ).write.mode("append").parquet(_manifest_path(output_path))
     metrics.unpersist()
 
     wall_s = time.perf_counter() - t0
@@ -158,3 +176,46 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
 
 def read_metrics(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.parquet(_metrics_path(output_path))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry point:
+
+        spark-submit --py-files pipeline.zip -m doc_parser_spark.plans.pipeline \\
+            --input /path/or/table --output /out [--buckets 256] \\
+            [--boilerplate reference|density] [--routing shuffle|none]
+    """
+    import argparse
+
+    from doc_parser_spark.session import get_spark
+    from doc_parser_spark.sources.iceberg import read_transcripts
+
+    ap = argparse.ArgumentParser(description="transcript extraction job")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
+    ap.add_argument("--boilerplate", default="reference",
+                    choices=["reference", "density"])
+    ap.add_argument("--routing", default="shuffle", choices=["shuffle", "none"])
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--job-run-id", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="doc_parser_spark.extract")
+    transcripts = read_transcripts(spark, args.input)
+    summary = run_extraction_job(
+        spark,
+        transcripts,
+        args.output,
+        n_buckets=args.buckets,
+        boilerplate_mode=args.boilerplate,
+        job_run_id=args.job_run_id,
+        resume=not args.no_resume,
+        routing=args.routing,
+    )
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -241,3 +241,14 @@ class TestSizeGuard:
         assert big["extracted_text"].startswith("<html>")  # plain path
         assert small["parse_status"] == "success"
         assert small["extracted_text"] == "T\n\nsmall"
+
+
+class TestManifestGuard:
+    def test_bucket_count_mismatch_rejected(self, spark, transcripts_pdf, tmp_path):
+        from doc_parser_spark.plans.pipeline import run_extraction_job
+
+        df = spark.createDataFrame(transcripts_pdf.head(40))
+        out = str(tmp_path / "g")
+        run_extraction_job(spark, df, out, n_buckets=8, job_run_id="g1")
+        with pytest.raises(ValueError, match="n_buckets=8"):
+            run_extraction_job(spark, df, out, n_buckets=16, job_run_id="g2")
