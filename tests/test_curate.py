@@ -1,0 +1,66 @@
+"""End-to-end curation pipeline: quality gate → exact dedup → near-dup →
+chunks, with injected duplicates and garbage."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _corpus() -> pd.DataFrame:
+    art = (
+        "<html><body><h1>Guide</h1><p>"
+        + " ".join(f"unique sentence number {i} with content" for i in range(6))
+        + "</p></body></html>"
+    )
+    near = art.replace("</p>", " plus one extra tail clause</p>")
+    rows = []
+
+    def add(conv, turn, text):
+        rows.append(
+            {
+                "conv_id": conv, "turn_idx": turn, "role": "user",
+                "text": text, "tool": None,
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+        )
+
+    # 3 exact copies of the article across conversations
+    add("a", 0, art)
+    add("b", 0, art)
+    add("c", 0, art)
+    # 1 near-duplicate
+    add("d", 0, near)
+    # distinct real content
+    for i in range(5):
+        add("e", i, f"totally distinct paragraph {i}\n\nsecond para {i} " * 3)
+    # garbage (quality gate) + empty (status gate)
+    add("f", 0, "GLYPH<1f> GLYPH<2e> junk")
+    add("g", 0, "   ")
+    return pd.DataFrame(rows)
+
+
+def test_curation_stages(spark):
+    from doc_parser_spark.plans.curate import run_curation
+
+    df = spark.createDataFrame(_corpus())
+    vectors, stats = run_curation(
+        spark, df, min_quality=0.5, near_dup_jaccard=0.5, max_tokens=200
+    )
+    assert stats["extracted"] == 11
+    # empty skipped + glyph garbage (score 0) filtered
+    assert stats["quality_kept"] == 9
+    # 3 exact copies → 1 kept
+    assert stats["exact_unique"] == 7
+    # near-dup of the article removed
+    assert stats["near_dup_unique"] == 6
+    assert stats["vectors"] >= stats["near_dup_unique"]
+
+    pdf = vectors.toPandas()
+    # exactly one copy of the article text line survived
+    assert (
+        pdf["text"].str.contains("unique sentence number 0", regex=False).sum()
+        == 1
+    )
+    # index invariants still hold after curation
+    for conv, grp in pdf.groupby("conv_id"):
+        assert sorted(grp["i_chunk_on_doc"]) == list(range(len(grp)))
