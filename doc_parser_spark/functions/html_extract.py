@@ -340,6 +340,12 @@ class _Walker:
             )
 
     def handle_figure(self, el: Element) -> None:
+        """Picture first, then its caption — matching the reference's export
+        order (the caption item attaches to the picture in the doc tree, so
+        indented-text/markdown exports render picture → caption)."""
+        self._emit(
+            Item(LABEL_PICTURE, "", self.content_layer), self.parents[self.level]
+        )
         caption = el.find("figcaption")
         if caption is not None:
             texts = [
@@ -348,9 +354,6 @@ class _Walker:
             ]
             cap_text = "".join(texts).strip()
             self._emit(Item(LABEL_CAPTION, cap_text, self.content_layer))
-        self._emit(
-            Item(LABEL_PICTURE, "", self.content_layer), self.parents[self.level]
-        )
 
     def handle_image(self, el: Element) -> None:
         self._emit(

@@ -107,8 +107,10 @@ class Element:
     def text(self) -> str:
         """Concatenation of all descendant text (bs4 ``.text`` analog).
 
-        Comment text is excluded; script/style text is included (matching
-        bs4 ``get_text()`` which joins all strings).
+        Comment AND script/style contents are excluded — bs4 ≥ 4.9 treats
+        Stylesheet/Script strings as non-visible and drops them from
+        get_text() (verified against the reference's wiki_duck groundtruth,
+        where a <style> block inside a citation must not leak into text).
         """
         parts: list[str] = []
         self._collect_text(parts)
@@ -118,7 +120,7 @@ class Element:
         for child in self.children:
             if child.__class__ is Element:
                 child._collect_text(parts)
-            elif not getattr(child, "is_comment", False):
+            elif not getattr(child, "preformatted", False):
                 parts.append(str(child))
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
