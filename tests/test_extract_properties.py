@@ -90,11 +90,16 @@ def test_extraction_invariants(markup):
     else:
         assert text == ""
 
-    # 3. every output word appears in the input markup (modulo markers)
+    # 3. every output word appears in the tag-stripped input (floating-text
+    # buffering may concatenate text across nested non-item tags — reference
+    # walk semantics — so compare against the stripped concatenation)
+    import re as _re
+
+    stripped = _re.sub(r"<[^>]*>", "", markup)
     for token in text.split():
         cleaned = token.strip("|-.0123456789")
         if cleaned:
-            assert cleaned in markup, f"invented token {token!r}"
+            assert cleaned in stripped, f"invented token {token!r}"
 
 
 @settings(max_examples=150, deadline=None)
