@@ -73,6 +73,8 @@ class Item:
     enumerated: bool = False
     marker: str = ""
     list_position: int = 0  # 1-based position among list items in its group
+    list_depth: int = 0  # number of enclosing list groups (md indent)
+    list_root: int = 0  # id of the outermost enclosing list group
     link_chars: int = 0  # chars of text under <a> descendants (density mode)
     in_boilerplate_container: bool = False
     table_grid: Optional[list[list[str]]] = None
@@ -130,6 +132,7 @@ class _Walker:
         }
         self.content_layer = BODY
         self.container_depth = 1 if in_container else 0
+        self.list_stack: list[int] = []  # ids of enclosing list groups
         # link-char bookkeeping is only needed for density-mode boilerplate
         self.track_links = track_links
 
@@ -269,7 +272,9 @@ class _Walker:
             parent.children.append(group)
         self.parents[self.level + 1] = group
         self.level += 1
+        self.list_stack.append(id(group))
         self.walk(el)
+        self.list_stack.pop()
         self.parents[self.level + 1] = None
         self.level -= 1
 
@@ -303,6 +308,8 @@ class _Walker:
                         enumerated=enumerated,
                         marker=marker,
                         list_position=position,
+                        list_depth=len(self.list_stack),
+                        list_root=self.list_stack[0] if self.list_stack else 0,
                         link_chars=self._links(el),
                     ),
                     parent,
@@ -325,6 +332,8 @@ class _Walker:
                         enumerated=enumerated,
                         marker=marker,
                         list_position=position,
+                        list_depth=len(self.list_stack),
+                        list_root=self.list_stack[0] if self.list_stack else 0,
                         link_chars=self._links(el),
                     ),
                     parent,
