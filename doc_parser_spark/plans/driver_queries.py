@@ -1470,3 +1470,37 @@ FROM items
 
 QUERIES["o2_items_table"] = q_o2_items_table
 ORACLES["o2_items_table"] = ORACLE_O2_ITEMS
+
+
+# ===========================================================================
+# batch 8 — markdown export through the Spark surface (O7)
+# ===========================================================================
+def q_o7_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the byte-exact markdown exporter (verified against the reference's
+    own groundtruth files in tests/test_reference_markdown.py) inside the
+    Arrow batch; oracle computes the expected md by construction."""
+    from doc_parser_spark.functions.export_md import extract_html_markdown
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PAYLOAD_HTML).alias("payload")
+    )
+
+    @F.pandas_udf(T.StringType())
+    def _md(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(extract_html_markdown)
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _md("payload").alias("markdown"),
+    )
+
+
+ORACLE_O7_MD = """
+SELECT doc_id::BIGINT AS doc_id,
+       '# Doc ' || doc_id || chr(10) || chr(10)
+         || replace(replace(trim(text), '&', '&amp;'), '_', '\\_') AS markdown
+FROM documents
+"""
+
+QUERIES["o7_markdown_export"] = q_o7_markdown_export
+ORACLES["o7_markdown_export"] = ORACLE_O7_MD
