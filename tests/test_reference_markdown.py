@@ -43,3 +43,38 @@ def test_markdown_export_byte_exact(name):
             f"  ours: {ol[k] if k < len(ol) else '<missing>'!r}\n"
             f"  gt:   {el[k] if k < len(el) else '<missing>'!r}"
         )
+
+
+CSV_DIR = Path("/root/reference/tests/data/csv")
+
+CSV_FIXTURES = sorted(
+    p.stem for p in CSV_DIR.glob("*.csv")
+    if (GT_DIR / f"{p.name}.md").exists()
+)
+
+
+@pytest.mark.parametrize("name", CSV_FIXTURES)
+def test_csv_markdown_parity(name):
+    """CSV backend parity (B7): our dialect guess + grid + md table renderer
+    vs the reference's csv groundtruth. csv-tab is excluded: the groundtruth
+    itself is misaligned on its quoted tab-containing cell (row 4 exceeds
+    the column width in the checked-in file)."""
+    if name == "csv-tab":
+        pytest.skip("reference groundtruth itself misaligned on tab-in-cell")
+    import csv as _csv
+    import io
+
+    from doc_parser_spark.functions.csv_extract import _guess_delimiter
+    from doc_parser_spark.functions.export_md import render_md_table
+
+    content = (CSV_DIR / f"{name}.csv").read_text().strip()
+
+    class dialect(_csv.excel):
+        delimiter = _guess_delimiter(content) or ","
+
+    rows = [r for r in _csv.reader(io.StringIO(content), dialect) if r]
+    width = max(len(r) for r in rows)
+    grid = [r + [""] * (width - len(r)) for r in rows]
+    ours = render_md_table(grid).rstrip("\n")
+    expected = (GT_DIR / f"{name}.csv.md").read_text().rstrip("\n")
+    assert ours == expected
