@@ -1,19 +1,24 @@
-"""Markdown main-content extraction (B6 analog).
+"""Markdown main-content extraction (B6) — marko-backend-faithful.
 
-The reference markdown backend walks a marko AST and re-routes embedded HTML
-blocks through the HTML backend (md_backend.py:548-615). This port is a
-line-based parser covering the same item classes:
+Semantics verified against the reference's own md fixtures + groundtruth
+(/root/reference/tests/data/md/*.md → groundtruth/docling_v2/*.md.md):
 
-- ATX headings ``#..######`` → title (h1) / section_header
-- fenced code blocks ``` ``` → code items
-- unordered (-, *, +) and ordered (N.) list items
+- ATX headings ``#..######`` → title (h1) / section_header; a bare ``#`` with
+  no text produces nothing
+- fenced AND 4-space/tab-indented code blocks → code items (language info
+  strings dropped); empty code blocks produce nothing
+- lists: nesting by leading tabs / 4-space units; a list continues across
+  blank lines; a bullet-symbol change at the top level starts a new list;
+  ordered items are enumerated with positional markers (source numbers are
+  NOT preserved — marko renumbers); an item whose text is itself
+  ``N. ...`` becomes a nested ordered item (marko parses it as a sublist);
+  empty markers (``-`` / ``1.`` alone) produce nothing
 - pipe tables (header + |---| separator) → table grid
-- blank-line-separated paragraphs
-- HTML blocks (a line starting with '<') re-routed through extract_html_items
-  with the same reference boilerplate rule — matching the B6→B1 dispatch.
-
-The boilerplate layer rule matches B1: if the payload has any heading,
-content before the first heading is FURNITURE.
+- HTML blocks: items parse through the HTML walk; when any HTML block is
+  present the md backend delegates the WHOLE document to the HTML backend
+  (md_backend.py:577-608), so the HTML furniture-before-first-heading rule
+  then applies document-wide
+- no furniture rule otherwise (the md backend has no ContentLayer logic)
 """
 
 from __future__ import annotations
@@ -37,34 +42,105 @@ from doc_parser_spark.functions.html_extract import (
     serialize_items,
 )
 
-_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
-_ULIST_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
-_OLIST_RE = re.compile(r"^\s*(\d+)\.\s+(.*)$")
-_FENCE_RE = re.compile(r"^```")
+_HEADING_RE = re.compile(r"^(#{1,6})(?:\s+(.*\S))?\s*$")
+_LIST_RE = re.compile(r"^([\t ]*)([-*+]|\d+[.)])(?:\s+(.*\S))?\s*$")
+_OLIST_TEXT_RE = re.compile(r"^(\d+)[.)]\s+(.*\S)\s*$")
+_FENCE_RE = re.compile(r"^\s*```")
 _TABLE_SEP_RE = re.compile(r"^\s*\|?[\s:|-]+\|[\s:|-]*$")
 _HTML_BLOCK_RE = re.compile(r"^\s*<")
+_INDENTED_RE = re.compile(r"^(?:\t| {4})(.*)$")
 
 
-def _table_row(line: str) -> list[str]:
-    cells = line.strip().strip("|").split("|")
-    return [c.strip() for c in cells]
+def _indent_level(ws: str) -> int:
+    return ws.count("\t") + (len(ws) - ws.count("\t")) // 4
+
+
+class _ListState:
+    """Tracks nested list groups for depth/root/position bookkeeping."""
+
+    def __init__(self) -> None:
+        self.stack: list[dict] = []  # {level, ordered, bullet, pos, gid}
+        self.root: int = 0
+        self._next_gid = 1
+        self.active = False
+
+    def new_root(self) -> None:
+        self.stack = []
+        self.root = self._next_gid
+        self._next_gid += 1
+        self.active = True
+
+    def close(self) -> None:
+        self.stack = []
+        self.active = False
+
+    def enter(self, level: int, ordered: bool, bullet: str) -> tuple[int, int]:
+        """→ (depth, position) for an item at this nesting level."""
+        if not self.active:
+            self.new_root()
+        while self.stack and self.stack[-1]["level"] > level:
+            self.stack.pop()
+        top = self.stack[-1] if self.stack else None
+        if top is not None and top["level"] == level:
+            if top["ordered"] == ordered and top["bullet"] == bullet:
+                top["pos"] += 1
+            else:
+                # symbol / kind change: new group (new root at top level)
+                self.stack.pop()
+                if level == 0 or not self.stack:
+                    self.new_root()
+                self.stack.append(
+                    {"level": level, "ordered": ordered, "bullet": bullet,
+                     "pos": 1, "gid": self._next_gid}
+                )
+                self._next_gid += 1
+        else:
+            self.stack.append(
+                {"level": level, "ordered": ordered, "bullet": bullet,
+                 "pos": 1, "gid": self._next_gid}
+            )
+            self._next_gid += 1
+        return len(self.stack), self.stack[-1]["pos"]
 
 
 def extract_md_items(text: str) -> list[Item]:
     lines = text.split("\n")
-    has_heading = any(_HEADING_RE.match(ln) for ln in lines)
-    layer = FURNITURE if has_heading else BODY
-
     items: list[Item] = []
     para: list[str] = []
+    ls = _ListState()
+    html_seen = False
     i = 0
     n = len(lines)
 
     def flush_para():
         nonlocal para
         if para:
-            items.append(Item(LABEL_TEXT, " ".join(para).strip(), layer))
+            items.append(Item(LABEL_TEXT, " ".join(para).strip(), BODY))
             para = []
+
+    def emit_list_item(level: int, marker: str, body: str):
+        nonlocal items
+        ordered = marker[0].isdigit()
+        bullet = "1" if ordered else marker
+        # an item whose own text is "N. ..." is a nested ordered item
+        if not ordered:
+            m = _OLIST_TEXT_RE.match(body)
+            if m:
+                emit_list_item(level + 1, m.group(1) + ".", m.group(2))
+                return
+        depth, pos = ls.enter(level, ordered, bullet)
+        items.append(
+            Item(
+                LABEL_LIST_ITEM,
+                body.strip(),
+                BODY,
+                enumerated=ordered,
+                marker="",
+                list_position=pos,
+                list_depth=depth,
+                list_root=ls.root,
+            )
+        )
 
     while i < n:
         line = lines[i]
@@ -75,13 +151,26 @@ def extract_md_items(text: str) -> list[Item]:
             i += 1
             continue
 
+        m = _LIST_RE.match(line)
+        if m:
+            flush_para()
+            if m.group(3):  # empty markers produce nothing
+                emit_list_item(_indent_level(m.group(1)), m.group(2), m.group(3))
+            i += 1
+            continue
+
+        # any other content terminates the active list run
+        ls.close()
+
         m = _HEADING_RE.match(line)
         if m:
             flush_para()
-            layer = BODY  # first heading flips to BODY (B1 rule)
-            level = len(m.group(1))
-            label = LABEL_TITLE if level == 1 else LABEL_SECTION_HEADER
-            items.append(Item(label, m.group(2).strip(), layer, level=level - 1))
+            if m.group(2):
+                level = len(m.group(1))
+                label = LABEL_TITLE if level == 1 else LABEL_SECTION_HEADER
+                items.append(
+                    Item(label, m.group(2).strip(), BODY, level=level - 1)
+                )
             i += 1
             continue
 
@@ -95,19 +184,37 @@ def extract_md_items(text: str) -> list[Item]:
             i += 1  # closing fence
             code = "\n".join(code_lines).strip()
             if code:
-                items.append(Item(LABEL_CODE, code, layer))
+                items.append(Item(LABEL_CODE, code, BODY))
+            continue
+
+        im = _INDENTED_RE.match(line)
+        if im and not para:
+            # indented code block (outside paragraphs and lists)
+            code_lines = []
+            while i < n:
+                cm = _INDENTED_RE.match(lines[i])
+                if cm:
+                    code_lines.append(cm.group(1))
+                elif not lines[i].strip():
+                    code_lines.append("")
+                else:
+                    break
+                i += 1
+            code = "\n".join(code_lines).strip()
+            if code:
+                items.append(Item(LABEL_CODE, code, BODY))
             continue
 
         if _HTML_BLOCK_RE.match(line):
-            # HTML block → re-route through the HTML walk (md_backend.py:548+)
             flush_para()
+            html_seen = True
             block = [line]
             i += 1
             while i < n and lines[i].strip():
                 block.append(lines[i])
                 i += 1
             for item in extract_html_items("\n".join(block)):
-                item.layer = layer
+                item.layer = BODY
                 items.append(item)
             continue
 
@@ -120,39 +227,30 @@ def extract_md_items(text: str) -> list[Item]:
                 grid.append(_table_row(lines[i]))
                 i += 1
             items.append(
-                Item(LABEL_TABLE, render_table(grid), layer, table_grid=grid)
+                Item(LABEL_TABLE, render_table(grid), BODY, table_grid=grid)
             )
-            continue
-
-        m = _ULIST_RE.match(line)
-        if m:
-            flush_para()
-            items.append(
-                Item(LABEL_LIST_ITEM, m.group(1).strip(), layer, enumerated=False)
-            )
-            i += 1
-            continue
-
-        m = _OLIST_RE.match(line)
-        if m:
-            flush_para()
-            items.append(
-                Item(
-                    LABEL_LIST_ITEM,
-                    m.group(2).strip(),
-                    layer,
-                    enumerated=True,
-                    marker=f"{m.group(1)}.",
-                )
-            )
-            i += 1
             continue
 
         para.append(stripped)
         i += 1
 
     flush_para()
+
+    # whole-document HTML delegation (md_backend.py:577-608): the HTML
+    # backend's furniture rule applies when any HTML block was present
+    if html_seen and any(
+        it.label in (LABEL_TITLE, LABEL_SECTION_HEADER) for it in items
+    ):
+        for it in items:
+            if it.label in (LABEL_TITLE, LABEL_SECTION_HEADER):
+                break
+            it.layer = FURNITURE
     return items
+
+
+def _table_row(line: str) -> list[str]:
+    cells = line.strip().strip("|").split("|")
+    return [c.strip() for c in cells]
 
 
 def extract_md(text: str) -> tuple[str, list[tuple[int, int, str, int]]]:

@@ -90,16 +90,17 @@ def test_extraction_invariants(markup):
     else:
         assert text == ""
 
-    # 3. every output word appears in the tag-stripped input (floating-text
-    # buffering may concatenate text across nested non-item tags — reference
-    # walk semantics — so compare against the stripped concatenation)
+    # 3. character conservation: the walk may concatenate text fragments
+    # (reference buffer semantics) but never invents or duplicates content —
+    # each letter of the output is covered by the tag-stripped input
     import re as _re
+    from collections import Counter
 
     stripped = _re.sub(r"<[^>]*>", "", markup)
-    for token in text.split():
-        cleaned = token.strip("|-.0123456789")
-        if cleaned:
-            assert cleaned in stripped, f"invented token {token!r}"
+    out_letters = Counter(c for c in text if c.isalpha())
+    in_letters = Counter(c for c in stripped if c.isalpha())
+    for ch, cnt in out_letters.items():
+        assert cnt <= in_letters[ch], f"invented/duplicated char {ch!r}"
 
 
 @settings(max_examples=150, deadline=None)

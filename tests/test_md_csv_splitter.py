@@ -20,16 +20,18 @@ from doc_parser_spark.sources.sniff import sniff_text
 
 
 class TestMarkdown:
-    def test_headings_and_furniture(self):
-        md = "nav junk before\n\n# Title\n\nbody para"
-        items = extract_md_items(md)
-        assert [(i.label, i.layer) for i in items] == [
-            (LABEL_TEXT, "furniture"),
-            (LABEL_TITLE, "body"),
-            (LABEL_TEXT, "body"),
-        ]
+    def test_no_furniture_in_pure_markdown(self):
+        # the md backend has no ContentLayer logic: pre-heading text stays
+        md = "intro before\n\n# Title\n\nbody para"
         text, spans = extract_md(md)
-        assert text == "Title\n\nbody para"
+        assert text == "intro before\n\nTitle\n\nbody para"
+
+    def test_html_block_triggers_furniture_rule(self):
+        # any HTML block delegates the doc to the HTML backend semantics
+        md = "nav junk\n\n<!-- html -->\n\n# Title\n\nbody para"
+        text, _ = extract_md(md)
+        assert "nav junk" not in text
+        assert text.startswith("Title")
 
     def test_no_heading_all_body(self):
         assert extract_md("just a para")[0] == "just a para"
@@ -38,6 +40,29 @@ class TestMarkdown:
         md = "# T\n\n- one\n- two\n\n1. first\n2. second"
         text, _ = extract_md(md)
         assert text == "T\n\n- one\n\n- two\n\n1. first\n\n2. second"
+
+    def test_nested_lists_by_indent(self):
+        md = "- outer\n    - inner\n- outer2"
+        items = extract_md_items(md)
+        assert [(i.text, i.list_depth) for i in items] == [
+            ("outer", 1), ("inner", 2), ("outer2", 1),
+        ]
+
+    def test_ordered_renumbered_positionally(self):
+        # marko renumbers: source numbers are not preserved
+        md = "5. five\n6. six"
+        items = extract_md_items(md)
+        assert [(i.list_position, i.marker) for i in items] == [(1, ""), (2, "")]
+
+    def test_indented_code_block(self):
+        md = "Code:\n\n    print(1)\n    print(2)\n\nafter"
+        items = extract_md_items(md)
+        assert [i.label for i in items] == [LABEL_TEXT, LABEL_CODE, LABEL_TEXT]
+        assert items[1].text == "print(1)\nprint(2)"
+
+    def test_empty_markers_dropped(self):
+        items = extract_md_items("#\n\n-\n\n1.")
+        assert items == []
 
     def test_fenced_code(self):
         md = "# T\n\n```\ncode line\n```"
