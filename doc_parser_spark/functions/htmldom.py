@@ -1,17 +1,23 @@
-"""Lenient HTML DOM built on stdlib ``html.parser``.
+"""Lenient HTML DOM — fast single-pass tokenizer, stdlib reference builder.
 
 A minimal replacement for the BeautifulSoup(html.parser) tree the reference
-uses (/root/reference/docling/backend/html_backend.py:78). Matches the
-behaviors the extraction walk depends on:
+uses (/root/reference/docling/backend/html_backend.py:78). The default
+``parse_html`` is a regex tokenizer (~2x faster than html.parser);
+``parse_html_stdlib`` builds the same tree on stdlib ``html.parser`` and
+serves as the equivalence oracle (tests/test_htmldom_equiv.py fuzzes both).
+Matched behaviors the extraction walk depends on:
 
 - text nodes (including inter-tag whitespace) are preserved in document order;
 - character references are decoded (``convert_charrefs=True``);
 - no implied end tags (``html.parser`` nests ``<p>a<p>b``) — mirrors bs4's
   html.parser tree builder;
-- void elements never take children;
+- void elements never take children; tolerant tag-name/attr grammars match
+  html.parser's tagfind_tolerant/attrfind_tolerant; bogus end tags and
+  ``<!x>`` follow parse_bogus_comment semantics;
 - stray end tags are ignored; unclosed tags are closed at EOF;
-- comments and script/style contents are tracked as *preformatted* strings so
-  the walk can skip them (bs4 ``PreformattedString`` analog).
+- comments and script/style contents are *preformatted* strings: excluded
+  from ``.text`` (bs4 ≥ 4.9 get_text semantics) and from floating-text
+  accumulation.
 
 Pure python, no dependencies — safe to ship inside Arrow UDF batches.
 """

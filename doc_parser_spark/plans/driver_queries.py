@@ -1504,3 +1504,55 @@ FROM documents
 
 QUERIES["o7_markdown_export"] = q_o7_markdown_export
 ORACLES["o7_markdown_export"] = ORACLE_O7_MD
+
+
+# ===========================================================================
+# batch 9 — text quality profile (training-data filter features)
+# ===========================================================================
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-filter features: length, punctuation ratio,
+    stopword ratio, mean word length — the standard pretraining-data
+    heuristics (C4/Gopher-style), all JVM-side expressions."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("int").alias("n_chars_m"),
+        F.round(
+            F.expr(
+                "size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0))"
+                " / greatest(length(text), 1)"
+            ),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.expr(
+                f"size(filter(split(lower(text), ' '), w -> w IN ({_STOPWORDS})))"
+                " / size(split(text, ' '))"
+            ),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.expr(
+                "aggregate(split(text, ' '), 0, (a, w) -> a + length(w))"
+                " / size(split(text, ' '))"
+            ),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_QUALITY_PROFILE = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       length(text)::INT AS n_chars_m,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ({_STOPWORDS}))) * 1.0
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       round(list_sum(list_transform(string_split(text, ' '),
+             w -> length(w))) * 1.0
+             / len(string_split(text, ' ')), 4) AS mean_word_len
+FROM documents
+"""
+
+QUERIES["text_quality_profile"] = q_text_quality_profile
+ORACLES["text_quality_profile"] = ORACLE_TEXT_QUALITY_PROFILE
