@@ -74,3 +74,19 @@ def turn_rate_stream(
             F.col("window.start").alias("window_start"), "role", "n_turns"
         )
     )
+
+
+def dedup_stream(
+    extracted: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose extracted text hash was
+    already seen within the watermark window. State stays bounded — a
+    duplicate arriving later than the watermark is NOT caught (the batch
+    exact_dedup pass is the complete backstop; this is the low-latency
+    filter in front of it)."""
+    hashed = extracted.withColumn(
+        "doc_hash", F.md5(F.coalesce(F.col("extracted_text"), F.lit("")))
+    )
+    return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["doc_hash"]
+    )

@@ -208,3 +208,63 @@ class TestWatermark:
         ]
         assert len(emitted_10) == 1
         assert emitted_10.iloc[0]["n_turns"] == 3  # late turn dropped
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from doc_parser_spark.streaming.stream import (
+            dedup_stream,
+            extract_stream,
+            read_transcript_stream,
+        )
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        rows = []
+        for i, (conv, text) in enumerate(
+            [
+                ("a", "duplicate payload text"),
+                ("b", "duplicate payload text"),
+                ("c", "unique payload one"),
+                ("d", "duplicate payload text"),
+                ("e", "unique payload two"),
+            ]
+        ):
+            rows.append(
+                {
+                    "conv_id": conv, "turn_idx": 0, "role": "user",
+                    "text": text, "tool": None,
+                    "ts": pd.Timestamp("2026-01-01 10:00:00")
+                    + pd.Timedelta(minutes=i),
+                }
+            )
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")
+        pdf.to_parquet(
+            str(inp / "b1.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+        # extraction drops ts; re-join it for the watermark column
+        stream = read_transcript_stream(spark, str(inp))
+        extracted = extract_stream(stream).join(
+            stream.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+        )
+        q = (
+            dedup_stream(extracted)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+        assert len(out) == 3  # one copy of the dup + two uniques
+        assert (
+            out["extracted_text"].str.contains("duplicate payload").sum() == 1
+        )
