@@ -42,6 +42,7 @@ CT_PLAIN = "plain"
 CT_PDF = "pdf"
 CT_MARKDOWN = "markdown"
 CT_CSV = "csv"
+CT_ASCIIDOC = "asciidoc"
 CT_EMPTY = "empty"
 CT_UNKNOWN = "unknown"
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from doc_parser_spark.datamodel import (
+    CT_ASCIIDOC,
     CT_CSV,
     CT_EMPTY,
     CT_HTML,
@@ -43,6 +44,7 @@ from doc_parser_spark.datamodel import (
     STATUS_SKIPPED,
     STATUS_SUCCESS,
 )
+from doc_parser_spark.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_spark.functions.csv_extract import extract_csv
 from doc_parser_spark.functions.html_extract import extract_html
 from doc_parser_spark.functions.md_extract import extract_md
@@ -61,6 +63,7 @@ EXTRACT_OUTPUT_SCHEMA = T.StructType(
 )
 
 _EXTRACTORS = {
+    CT_ASCIIDOC: extract_asciidoc,
     CT_HTML: extract_html,
     CT_PDF: extract_pdfish,
     CT_PLAIN: extract_plain,

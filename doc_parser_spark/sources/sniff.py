@@ -17,6 +17,7 @@ import re
 import pandas as pd
 
 from doc_parser_spark.datamodel import (
+    CT_ASCIIDOC,
     CT_CSV,
     CT_EMPTY,
     CT_HTML,
@@ -41,6 +42,8 @@ _HTML_FRAGMENT_RE = re.compile(
 )
 # markdown probe: an ATX heading or fence at a line start in the head
 _MD_RE = re.compile(r"(?m)^(?:#{1,6} |```)")
+# asciidoc probe: the first non-blank line is a '=' title/section
+_ADOC_RE = re.compile(r"^=+ \S")
 # cheap vectorized CSV prefilter; confirmed by csv.Sniffer per candidate
 _CSV_PREFILTER_RE = re.compile(r"^[^\n<]*[,;\t|][^\n]*\n", )
 
@@ -57,6 +60,8 @@ def sniff_text(text: str | None) -> str:
         return CT_HTML
     if _HTML_RE.match(content):
         return CT_HTML
+    if _ADOC_RE.match(head.lstrip()):
+        return CT_ASCIIDOC
     if _MD_RE.search(head):
         return CT_MARKDOWN
     if _HTML_FRAGMENT_RE.search(content):
@@ -78,20 +83,22 @@ def sniff_series(texts: pd.Series) -> pd.Series:
         "xhtml", regex=False
     )
     is_html_full = lowered.str.match(_HTML_RE) | is_xhtml
-    is_md = head.str.contains(_MD_RE, regex=True)
+    is_adoc = head.str.lstrip().str.match(_ADOC_RE)
+    is_md = head.str.contains(_MD_RE, regex=True) & ~is_adoc
     is_html_frag = lowered.str.contains(_HTML_FRAGMENT_RE, regex=True)
 
     out = pd.Series(CT_PLAIN, index=texts.index, dtype="object")
     # csv confirmation runs scalar csv.Sniffer only on prefiltered candidates
     csv_cand = (
         ~is_empty & ~is_pdf & ~is_html_full & ~is_md & ~is_html_frag
-        & head.str.match(_CSV_PREFILTER_RE)
+        & ~is_adoc & head.str.match(_CSV_PREFILTER_RE)
     )
     if csv_cand.any():
         confirmed = texts[csv_cand].map(lambda t: sniff_csv(t or ""))
         out[confirmed[confirmed].index] = CT_CSV
     out[is_html_frag] = CT_HTML
     out[is_md] = CT_MARKDOWN
+    out[is_adoc] = CT_ASCIIDOC
     out[is_html_full] = CT_HTML
     out[is_pdf] = CT_PDF
     out[is_empty] = CT_EMPTY

@@ -4,8 +4,8 @@ Schema is exactly the BASELINE.json input_hint:
     conv_id:string, turn_idx:int32, role:string, text:string,
     tool:string, ts:timestamp
 
-Payload mix: ~40% HTML, ~40% plain text, ~15% pdf-ish cell dumps, ~5%
-empty/garbage. A configurable fraction of conversations are "whales" with
+Payload mix: ~35% HTML, ~27% plain text, ~10% markdown, ~5% CSV, ~3%
+asciidoc, ~15% pdf-ish cell dumps, ~5% empty/garbage. A configurable fraction of conversations are "whales" with
 100× the median turn count (exercises salting). Content derives only from a
 seeded PRNG — no external data.
 """
@@ -192,16 +192,34 @@ def _csv_payload(rng: random.Random) -> str:
     return "\n".join([header] + rows)
 
 
+def _asciidoc_payload(rng: random.Random) -> str:
+    parts = [f"= {_sentence(rng, 3).title()}", "", _sentence(rng, 8) + "."]
+    for _ in range(rng.randint(1, 2)):
+        parts += ["", f"== {_sentence(rng, 2).title()}", "",
+                  _sentence(rng, rng.randint(8, 14)) + "."]
+        r = rng.random()
+        if r < 0.3:
+            parts += [""] + [f"* {_sentence(rng, 4)}" for _ in range(3)]
+        elif r < 0.45:
+            parts += ["", "|===",
+                      "|" + "|".join(f"h{i}" for i in range(3)) + "|",
+                      "|" + "|".join(_sentence(rng, 1) for _ in range(3)) + "|",
+                      "|==="]
+    return "\n".join(parts)
+
+
 def payload_for(rng: random.Random) -> str:
     r = rng.random()
     if r < 0.35:
         return _html_payload(rng)
-    if r < 0.65:
+    if r < 0.62:
         return _plain_payload(rng)
-    if r < 0.75:
+    if r < 0.72:
         return _md_payload(rng)
-    if r < 0.80:
+    if r < 0.77:
         return _csv_payload(rng)
+    if r < 0.80:
+        return _asciidoc_payload(rng)
     if r < 0.95:
         return _pdfish_payload(rng)
     return _garbage_payload(rng)

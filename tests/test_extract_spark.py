@@ -33,6 +33,10 @@ def _expected_text(text: str) -> str | None:
         return extract_md(text)[0]
     if ct == "csv":
         return extract_csv(text)[0]
+    if ct == "asciidoc":
+        from doc_parser_spark.functions.asciidoc_extract import extract_asciidoc
+
+        return extract_asciidoc(text)[0]
     return extract_plain(text)[0]
 
 

@@ -145,3 +145,64 @@ class TestSplitter:
 
     def test_empty(self):
         assert recursive_split("", 100, 10) == []
+
+
+class TestAsciidoc:
+    def test_title_sections_text(self):
+        from doc_parser_spark.functions.asciidoc_extract import (
+            extract_asciidoc,
+            extract_asciidoc_items,
+        )
+
+        adoc = "= Title\n\nabstract text.\n\n== Section 1\n\nbody one\nbody two\n\n== Section 2\nbody three"
+        items = extract_asciidoc_items(adoc)
+        assert [(i.label, i.text) for i in items] == [
+            ("title", "Title"),
+            ("paragraph", "abstract text."),
+            ("section_header", "Section 1"),
+            ("paragraph", "body one body two"),
+            ("section_header", "Section 2"),
+            ("paragraph", "body three"),
+        ]
+        assert items[2].level == 1
+
+    def test_lists_and_nesting(self):
+        from doc_parser_spark.functions.asciidoc_extract import (
+            extract_asciidoc_items,
+        )
+
+        adoc = "* one\n  * nested\n* two\n\nafter"
+        items = extract_asciidoc_items(adoc)
+        li = [i for i in items if i.label == "list_item"]
+        assert [(i.text, i.list_depth) for i in li] == [
+            ("one", 1), ("nested", 2), ("two", 1),
+        ]
+        assert items[-1].text == "after"
+
+    def test_table_with_fences(self):
+        from doc_parser_spark.functions.asciidoc_extract import (
+            extract_asciidoc_items,
+        )
+
+        adoc = "|===\n|h1|h2|\n|a|b|\n|==="
+        items = extract_asciidoc_items(adoc)
+        assert items[0].label == "table"
+        assert items[0].table_grid == [["h1", "h2"], ["a", "b"]]
+
+    def test_picture_with_caption(self):
+        from doc_parser_spark.functions.asciidoc_extract import (
+            extract_asciidoc_items,
+        )
+
+        adoc = ".A caption\nimage::pic.png[Alt]"
+        items = extract_asciidoc_items(adoc)
+        assert [(i.label, i.text) for i in items] == [
+            ("caption", "A caption"), ("picture", ""),
+        ]
+
+    def test_sniff(self):
+        from doc_parser_spark.sources.sniff import sniff_text
+
+        assert sniff_text("= Doc Title\n\ntext") == "asciidoc"
+        assert sniff_text("== Section only") == "asciidoc"
+        assert sniff_text("x = y equation") == "plain"
