@@ -1556,3 +1556,77 @@ FROM documents
 
 QUERIES["text_quality_profile"] = q_text_quality_profile
 ORACLES["text_quality_profile"] = ORACLE_TEXT_QUALITY_PROFILE
+
+
+# ===========================================================================
+# batch 10 — asciidoc extraction + salted aggregation, both oracled
+# ===========================================================================
+PAYLOAD_ADOC = (
+    "'= Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) "
+    "|| '== Details' || chr(10) || chr(10) || 'closing line.'"
+)
+
+
+def q_b11_asciidoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_ADOC).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        F.col("extracted_text"),
+    )
+
+
+ORACLE_B11 = """
+SELECT doc_id::BIGINT AS doc_id, 'asciidoc' AS content_type,
+       'Doc ' || doc_id || chr(10) || chr(10) || trim(text)
+         || chr(10) || chr(10) || 'Details'
+         || chr(10) || chr(10) || 'closing line.' AS extracted_text
+FROM documents
+"""
+
+
+def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (explicit salting — AQE only covers
+    join skew) must equal the plain groupBy exactly."""
+    from doc_parser_spark.operators.conversation import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.round(F.col("value"), 4)
+    )
+    out = salted_agg(
+        ev,
+        "user_id",
+        {
+            "n_events": ("count", "*"),
+            "max_value": ("max", "v"),
+            "min_value": ("min", "v"),
+        },
+        n_salts=16,
+    )
+    return out.select("user_id", "n_events", "max_value", "min_value")
+
+
+ORACLE_SALTED = """
+SELECT user_id, count(*) AS n_events,
+       max(round(value, 4)) AS max_value,
+       min(round(value, 4)) AS min_value
+FROM events GROUP BY user_id
+"""
+
+QUERIES.update(
+    {
+        "b11_asciidoc_extract": q_b11_asciidoc_extract,
+        "salted_user_stats": q_salted_user_stats,
+    }
+)
+ORACLES.update(
+    {
+        "b11_asciidoc_extract": ORACLE_B11,
+        "salted_user_stats": ORACLE_SALTED,
+    }
+)
