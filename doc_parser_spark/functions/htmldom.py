@@ -118,6 +118,11 @@ class Element:
         get_text() (verified against the reference's wiki_duck groundtruth,
         where a <style> block inside a citation must not leak into text).
         """
+        ch = self.children
+        if len(ch) == 1:  # fast path: <p>text</p> dominates real corpora
+            c = ch[0]
+            if c.__class__ is TextNode and not c.preformatted:
+                return str(c)
         parts: list[str] = []
         self._collect_text(parts)
         return "".join(parts)

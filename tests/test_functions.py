@@ -407,3 +407,15 @@ class TestPdfishColumns:
         )
         text, _ = extract_pdfish(payload)
         assert text == "alpha beta"
+
+
+class TestSnifferCorpusParity:
+    def test_vectorized_equals_scalar_on_corpus(self):
+        import random
+
+        from doc_parser_spark.sources.transcripts import payload_for
+
+        rng = random.Random(99)
+        texts = [payload_for(rng) for _ in range(400)]
+        s = pd.Series(texts)
+        assert sniff_series(s).tolist() == [sniff_text(t) for t in texts]
