@@ -15,7 +15,6 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta
 
-import numpy as np
 import pandas as pd
 
 ROLES = ("user", "assistant", "system", "tool")
