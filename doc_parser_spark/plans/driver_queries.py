@@ -1630,3 +1630,83 @@ ORACLES.update(
         "salted_user_stats": ORACLE_SALTED,
     }
 )
+
+
+# ===========================================================================
+# batch 11 — repetition metrics (Gopher) + URL/email scrubbing (C4)
+# ===========================================================================
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and the
+    frequency share of the most common word — both row-local arrays."""
+    words = "split(text, ' ')"
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(
+            F.expr(
+                f"1.0 - size(array_distinct({words})) / size({words})"
+            ),
+            4,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.expr(
+                f"array_max(transform(array_distinct({words}), "
+                f"w -> size(filter({words}, x -> x = w)))) / size({words})"
+            ),
+            4,
+        ).alias("top_word_frac"),
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac,
+       round(list_max(list_transform(list_distinct(w),
+             x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w), 4)
+         AS top_word_frac
+FROM t
+"""
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style scrubbing: URLs and emails replaced with sentinels. Payload
+    injects one of each deterministically so the regexes are exercised."""
+    payload = (
+        "text || ' contact doc' || doc_id || '@example.com or visit "
+        "https://example.com/p/' || doc_id || '?q=1 end'"
+    )
+    url_re = r"https?://[^\s]+"
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(F.expr(payload), email_re, "<EMAIL>"),
+            url_re,
+            "<URL>",
+        ).alias("scrubbed"),
+    )
+
+
+ORACLE_TEXT_SCRUB = r"""
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact doc' || doc_id || '@example.com or visit '
+             || 'https://example.com/p/' || doc_id || '?q=1 end',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "text_repetition": q_text_repetition,
+        "text_scrub": q_text_scrub,
+    }
+)
+ORACLES.update(
+    {
+        "text_repetition": ORACLE_TEXT_REPETITION,
+        "text_scrub": ORACLE_TEXT_SCRUB,
+    }
+)
