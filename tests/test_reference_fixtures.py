@@ -133,3 +133,27 @@ def test_reference_fixture_parity(name):
         assert (
             len(it) == 2 and it[0] == "caption" and it[1] in seen_captions
         ), f"{name}: unexplained groundtruth tail item {it!r}"
+
+
+def test_density_mode_on_real_wikipedia():
+    """Arc90 link-density mode on wiki_duck: site chrome and link-farm
+    blocks (TOC entries, tool links) drop; article prose survives intact."""
+    from doc_parser_spark.functions.html_extract import extract_html
+
+    markup = (HTML_DIR / "wiki_duck.html").read_text()
+    ref, _ = extract_html(markup, "reference")
+    den, _ = extract_html(markup, "density")
+
+    # meaningful reduction, not evisceration
+    assert 0.5 < len(den) / len(ref) < 0.9
+
+    # link-farm content dropped
+    for chrome in ["1 Etymology", "What links here"]:
+        assert chrome in ref and chrome not in den
+    # every long article paragraph survives
+    for prose in [
+        "Duck is the common name",
+        "The word duck comes from",
+        "Ducks eat food sources such as grasses",
+    ]:
+        assert prose in ref and prose in den
