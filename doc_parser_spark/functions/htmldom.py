@@ -203,9 +203,9 @@ _TOKEN_RE = __import__("re").compile(
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"      # end tag        (group 1)
     r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"           # start tag name (group 2)
     # attrs blob: quoted pairs take precedence, bare/unmatched quotes pass
-    # through as plain chars (html.parser tolerates them as attr names)
-    r"((?:\"[^\"]*\"|'[^']*'|[^>])*?)"       # attrs blob     (group 3, lazy
-    r"(/?)>"                                 # so group 4 sees the slash)
+    # through as plain chars (html.parser tolerates them as attr names);
+    # self-closing is decided by the attr scan, exactly like parse_starttag
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)>"      # attrs blob     (group 3)
     r"|</[^>]*>",                            # bogus end tag → bogus comment
     __import__("re").DOTALL,
 )
@@ -227,11 +227,27 @@ _RAWTEXT_END = {
 from html import unescape as _unescape
 
 
-def _parse_attrs(blob: str) -> dict:
-    """Mirror html.parser.parse_starttag's attr loop: the blob keeps its
-    leading delimiter so the lookbehind in attrfind_tolerant applies."""
+_LEAD_SKIP_RE = __import__("re").compile(r"(?:\s|/(?!>))*")
+
+
+def _scan_attrs(blob: str) -> tuple[dict | None, bool]:
+    """Mirror html.parser.parse_starttag's attr loop exactly: step
+    attrfind_tolerant over blob+'>' (the sentinel keeps /(?!>) semantics),
+    then classify the leftover — '' = open tag, '/' = self-closing,
+    anything else = junk (parse_starttag emits the whole tag as data).
+
+    Returns (attrs or None-for-junk, selfclose).
+    """
+    scan = blob + ">"
+    end = len(scan) - 1
+    k = _LEAD_SKIP_RE.match(scan).end()
+    if k > end:
+        k = end
     attrs: dict = {}
-    for m in _ATTR_RE.finditer(blob):
+    while k < end:
+        m = _ATTR_RE.match(scan, k)
+        if not m or m.end() == k:
+            break
         name = m.group(1).lower()
         rest, val = m.group(2), m.group(3)
         if not rest:
@@ -240,7 +256,18 @@ def _parse_attrs(blob: str) -> dict:
             if val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
                 val = val[1:-1]
             attrs[name] = _unescape(val) if "&" in val else val
-    return attrs
+        k = m.end()
+    leftover = scan[k:end].strip()
+    if leftover == "":
+        return attrs, False
+    if leftover == "/":
+        return attrs, True
+    return None, False
+
+
+def _parse_attrs(blob: str) -> dict:
+    attrs, _ = _scan_attrs(blob)
+    return attrs or {}
 
 
 def parse_html(markup: str) -> Element:
@@ -274,12 +301,27 @@ def parse_html(markup: str) -> Element:
                 )
             )
         pos = m.end()
-        end_name, start_name, attr_blob, selfclose = m.group(1, 2, 3, 4)
+        end_name, start_name, attr_blob = m.group(1, 2, 3)
         if start_name is not None:
             tag = start_name.lower()
+            selfclose = False
             el = Element(tag)
             if attr_blob and not attr_blob.isspace():
                 el._attr_blob = attr_blob
+            if "/" in attr_blob:
+                # a slash may be a self-closing marker OR part of a bare attr
+                # value — only the full parse_starttag scan can tell
+                attrs, selfclose = _scan_attrs(attr_blob)
+                if attrs is None:
+                    # junk start tag → the whole token is data
+                    # (parse_starttag end-not-in-('>','/>') path)
+                    data = markup[start : m.end()]
+                    stack[-1].append(
+                        TextNode(_unescape(data) if "&" in data else data)
+                    )
+                    continue
+                el._attr_blob = None
+                el._attrs = attrs
             stack[-1].append(el)
             if selfclose or tag in VOID_ELEMENTS:
                 continue
