@@ -202,10 +202,10 @@ _TOKEN_RE = __import__("re").compile(
     # tag-name charsets mirror html.parser's tagfind_tolerant/endtagfind
     r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"      # end tag        (group 1)
     r"|<([a-zA-Z][^\t\n\r\f />\x00]*)"           # start tag name (group 2)
-    # attrs blob: quoted pairs take precedence, bare/unmatched quotes pass
-    # through as plain chars (html.parser tolerates them as attr names);
-    # self-closing is decided by the attr scan, exactly like parse_starttag
-    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)>"      # attrs blob     (group 3)
+    # attrs blob: quoted spans only protect '>' AFTER '=' (html.parser's
+    # locatestarttagend rule — a bare quote elsewhere is just an attr-name
+    # char); self-closing is decided by the attr scan like parse_starttag
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>"  # attrs blob (group 3)
     r"|</[^>]*>",                            # bogus end tag → bogus comment
     __import__("re").DOTALL,
 )
