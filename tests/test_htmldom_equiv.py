@@ -76,7 +76,7 @@ def test_handpicked_cases():
         _assert_same(c)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(
     st.text(
         alphabet="<>/ab c='\"&;!-pdivh1ulotre\n",
@@ -84,4 +84,16 @@ def test_handpicked_cases():
     )
 )
 def test_fuzz_equivalence(markup):
+    _assert_same(markup)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet="<>/ab c='\"&;!-pdivh1ulotre\n&amp;&lt;&#65;é漢\t?=[]",
+        max_size=200,
+    )
+)
+def test_fuzz_equivalence_wide(markup):
+    """Wider alphabet: entities, unicode, tabs, brackets."""
     _assert_same(markup)
