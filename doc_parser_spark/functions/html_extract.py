@@ -61,6 +61,18 @@ _HEADERS = ("h1", "h2", "h3", "h4", "h5", "h6")
 # Arc90-ish boilerplate containers for density mode
 _BOILERPLATE_CONTAINERS = frozenset({"nav", "header", "footer", "aside"})
 
+# inline phrasing tags whose text joins a floating-text run at the FRAGMENT
+# root (no reference analog: the reference never parses fragments, its sniffer
+# only routes full documents — document.py:440-477; without this, fragment
+# prose around/inside inline markup would be dropped silently)
+_INLINE_TAGS = frozenset(
+    {
+        "a", "abbr", "b", "bdi", "bdo", "cite", "data", "dfn", "em", "i",
+        "kbd", "mark", "q", "s", "samp", "small", "span", "strong", "sub",
+        "sup", "time", "u", "var", "wbr", "del", "ins",
+    }
+)
+
 
 @dataclass
 class Item:
@@ -124,7 +136,12 @@ class _Walker:
 
     MAX_LEVELS = 10
 
-    def __init__(self, in_container: bool = False, track_links: bool = False):
+    def __init__(
+        self,
+        in_container: bool = False,
+        track_links: bool = False,
+        fragment_text: bool = True,
+    ):
         self.items: list[Item] = []
         self.level = 0
         self.parents: dict[int, Optional[object]] = {
@@ -135,6 +152,10 @@ class _Walker:
         self.list_stack: list[int] = []  # ids of enclosing list groups
         # link-char bookkeeping is only needed for density-mode boilerplate
         self.track_links = track_links
+        # fragment_text=False restores body-only semantics at the fragment
+        # root (markdown HTML blocks: stray raw text there is a block-split
+        # artifact, not content)
+        self.fragment_text = fragment_text
 
     def _links(self, el: Element) -> int:
         return _link_chars(el) if self.track_links else 0
@@ -149,31 +170,50 @@ class _Walker:
 
     # -- walk (html_backend.py:144-182) ---------------------------------------
     def walk(self, tag: Element) -> None:
+        # the fragment root ([document]) only exists when the payload had no
+        # <body>; there it behaves like the reference's <div> (floating text
+        # becomes TEXT items) and additionally absorbs inline-tag text into
+        # the run — fragments have no reference groundtruth to stay
+        # bug-compatible with, and dropping their prose would be data loss
+        is_root = tag.name == "[document]" and self.fragment_text
         text = ""
+
+        def flush() -> str:
+            stripped = text.strip()
+            if stripped:
+                self._emit(
+                    Item(LABEL_TEXT, stripped, self.content_layer),
+                    self.parents[self.level],
+                )
+            return ""
+
         children = tag.children
         for idx, element in enumerate(children):
             if isinstance(element, Element):
+                if is_root and element.name in _INLINE_TAGS:
+                    text += element.text
+                    continue
+                if is_root:
+                    text = flush()
                 self.analyze_tag(element)
             elif isinstance(element, TextNode) and not element.preformatted:
                 # floating text outside paragraphs or analyzed tags; only a
-                # <div> parent ever emits it (html_backend.py:168), so the
-                # sibling scan is skipped everywhere else
-                if tag.name != "div":
+                # <div> parent (html_backend.py:168) or the fragment root
+                # ever emits it, so the sibling scan is skipped everywhere else
+                if tag.name != "div" and not is_root:
                     continue
                 text += str(element)
+                if is_root:
+                    continue  # root flushes at block boundaries / at EOF
                 rest = children[idx + 1 :]
                 siblings = [it for it in rest if isinstance(it, Element)]
                 has_next = idx + 1 < len(children)
                 if (not has_next) or any(
                     s.name in TAGS_FOR_NODE_ITEMS for s in siblings
                 ):
-                    text = text.strip()
-                    if text:
-                        self._emit(
-                            Item(LABEL_TEXT, text, self.content_layer),
-                            self.parents[self.level],
-                        )
-                    text = ""
+                    text = flush()
+        if is_root:
+            flush()
 
     # -- analyze_tag (html_backend.py:184-204) --------------------------------
     def analyze_tag(self, tag: Element) -> None:
@@ -471,7 +511,7 @@ def render_table(grid: list[list[Optional[str]]]) -> str:
 # public API
 # ---------------------------------------------------------------------------
 def extract_html_items(
-    markup: str, boilerplate_mode: str = "reference"
+    markup: str, boilerplate_mode: str = "reference", fragment_text: bool = True
 ) -> list[Item]:
     """Parse HTML and return the flat item list in document order.
 
@@ -480,12 +520,19 @@ def extract_html_items(
         "density"   — reference rule + Arc90-style link-density demotion:
                       TEXT/LIST_ITEM items whose link-char ratio > 0.5, and any
                       item inside nav/header/footer/aside, become FURNITURE.
+    fragment_text:
+        True (default) — when the payload has no <body>, floating/inline text
+        at the fragment root becomes TEXT items (transcript fragments);
+        False — body-only semantics everywhere (markdown HTML blocks).
     """
     root = parse_html(markup)
     content = find_body(root)
     replace_br_with_newlines(content)
 
-    walker = _Walker(track_links=(boilerplate_mode == "density"))
+    walker = _Walker(
+        track_links=(boilerplate_mode == "density"),
+        fragment_text=fragment_text,
+    )
     has_header = content.find(_HEADERS) is not None
     walker.content_layer = FURNITURE if has_header else BODY
     walker.walk(content)

@@ -213,7 +213,7 @@ def extract_md_items(text: str) -> list[Item]:
             while i < n and lines[i].strip():
                 block.append(lines[i])
                 i += 1
-            for item in extract_html_items("\n".join(block)):
+            for item in extract_html_items("\n".join(block), fragment_text=False):
                 item.layer = BODY
                 items.append(item)
             continue

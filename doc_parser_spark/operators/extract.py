@@ -88,6 +88,13 @@ def with_content_type(df: DataFrame) -> DataFrame:
 MAX_PARSE_BYTES = 4 * 1024 * 1024
 
 
+import re as _re
+
+# full-document markers (the reference's own HTML probe shape,
+# document.py:440-477); an HTML payload WITHOUT one is a routed fragment
+_FULLDOC_RE = _re.compile(r"<!doctype\s+html|<html|<head|<body")
+
+
 def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     """Per-document extraction with the R4-style fallback chain.
 
@@ -102,6 +109,16 @@ def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     try:
         if extractor is extract_html:
             extracted, spans = extract_html(text, boilerplate_mode)
+            if (
+                not extracted
+                and text.strip()
+                and not _FULLDOC_RE.search(text[:1024].lower())
+            ):
+                # fragment whose walk produced nothing (e.g. bare <img>):
+                # demote to partial with the plain-text content instead of
+                # reporting an empty extraction as success
+                extracted, spans = extract_plain(text)
+                return extracted, spans, STATUS_PARTIAL
         else:
             extracted, spans = extractor(text)
         return extracted, spans, STATUS_SUCCESS

@@ -34,12 +34,26 @@ _XML_DECL_RE = re.compile(r"<\?xml")
 _HTML_RE = re.compile(
     r"(<script.*?>.*?</script>\s*)?(<!doctype\s+html|<html|<head|<body)", re.DOTALL
 )
-# any well-formed opening tag early in the payload also routes to the HTML
-# parser (transcript turns often carry fragments without <html>/<body>)
-_HTML_FRAGMENT_RE = re.compile(
-    r"<(?:h[1-6]|p|div|ul|ol|li|table|pre|span|a|b|i|em|strong|nav|header|"
-    r"footer|article|section|figure|img|br)\b[^>]*>",
+# Fragment routing (transcript turns often carry fragments without
+# <html>/<body>). Only BLOCK-level markup routes to the HTML walker, and only
+# when markup dominates the head: the payload starts with a block tag, or the
+# head carries several of them. Inline tags (<b>, <a>, <span>, ...) never
+# route — prose like "use <b>bold</b> text sparingly" or "a<b and c>d" must
+# stay plain, because the HTML walk keeps only block-item text and would
+# silently drop such content (parse_status would still read success).
+_BLOCK_TAGS = (
+    r"(?:h[1-6]|p|div|ul|ol|li|table|pre|blockquote|nav|header|"
+    r"footer|article|section|figure|img|br|hr)"
 )
+_HTML_FRAGMENT_TAG_RE = re.compile(rf"<{_BLOCK_TAGS}\b[^>]*>")
+_FRAGMENT_MIN_TAGS = 3
+
+
+def _is_html_fragment(content: str) -> bool:
+    """content = comment-stripped, lowercased, lstripped head."""
+    if _HTML_FRAGMENT_TAG_RE.match(content):
+        return True
+    return len(_HTML_FRAGMENT_TAG_RE.findall(content)) >= _FRAGMENT_MIN_TAGS
 # markdown probe: an ATX heading or fence at a line start in the head
 _MD_RE = re.compile(r"(?m)^(?:#{1,6} |```)")
 # asciidoc probe: the first non-blank line is a '=' title/section
@@ -64,7 +78,7 @@ def sniff_text(text: str | None) -> str:
         return CT_ASCIIDOC
     if _MD_RE.search(head):
         return CT_MARKDOWN
-    if _HTML_FRAGMENT_RE.search(content):
+    if _is_html_fragment(content):
         return CT_HTML
     if _CSV_PREFILTER_RE.match(head) and sniff_csv(text):
         return CT_CSV
@@ -85,7 +99,9 @@ def sniff_series(texts: pd.Series) -> pd.Series:
     is_html_full = lowered.str.match(_HTML_RE) | is_xhtml
     is_adoc = head.str.lstrip().str.match(_ADOC_RE)
     is_md = head.str.contains(_MD_RE, regex=True) & ~is_adoc
-    is_html_frag = lowered.str.contains(_HTML_FRAGMENT_RE, regex=True)
+    is_html_frag = lowered.str.match(_HTML_FRAGMENT_TAG_RE) | (
+        lowered.str.count(_HTML_FRAGMENT_TAG_RE) >= _FRAGMENT_MIN_TAGS
+    )
 
     out = pd.Series(CT_PLAIN, index=texts.index, dtype="object")
     # csv confirmation runs scalar csv.Sniffer only on prefiltered candidates
