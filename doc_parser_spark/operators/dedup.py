@@ -43,16 +43,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: md5 content hash; keeper = min id per hash.
 
     Adds ``doc_hash`` and ``keep`` (true for the single kept row per hash).
+
+    Scale shape: ONE exchange on doc_hash (a min-over-partition window).
+    Distinct hashes ≈ distinct docs, so the aggregate-then-join alternative
+    is a second full shuffle of the corpus for no benefit — the window frame
+    here is partition-wide with no ordering, so it costs shuffle + sort only.
     """
+    from pyspark.sql import Window
+
     hashed = df.withColumn("doc_hash", F.md5(F.col(text_col)))
-    # window-free: aggregate keepers then broadcast-join back (hash side is
-    # one row per distinct hash — small relative to the corpus)
-    keepers = hashed.groupBy("doc_hash").agg(F.min(id_col).alias("_keeper"))
-    return (
-        hashed.join(keepers, "doc_hash")
-        .withColumn("keep", F.col(id_col) == F.col("_keeper"))
-        .drop("_keeper")
-    )
+    keeper = F.min(id_col).over(Window.partitionBy("doc_hash"))
+    return hashed.withColumn("keep", F.col(id_col) == keeper)
 
 
 def with_shingles(
@@ -115,6 +116,32 @@ def minhash_signatures(
     return sh.select(*cols)
 
 
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, band, bucket) rows for LSH banding. Shingle-less texts (< n
+    words) are excluded — see the skew guard note on lsh_candidate_pairs."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n).where(
+        F.col("m0").isNotNull()
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_cols.append(F.expr(f"md5(concat_ws('|', {parts}))").alias(f"band{b}"))
+    banded = sigs.select(F.col(id_col).alias("id"), *band_cols)
+    return banded.selectExpr(
+        "id",
+        "posexplode(array(" + ", ".join(f"band{b}" for b in range(bands)) + ")) "
+        "AS (band, bucket)",
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -129,19 +156,14 @@ def lsh_candidate_pairs(
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, jaccard ≥ threshold.
     At scale the join shuffles only (band, bucket, id) — constant-size rows.
+
+    Skew guard: texts with < n words have NO shingles, so every MinHash is
+    NULL and concat_ws would band them all into one md5('') bucket per band —
+    a quadratic hot bucket over the corpus's short-text tail (such pairs are
+    0/0-Jaccard and get filtered later anyway, so dropping them up front
+    changes no output). They are filtered BEFORE banding.
     """
-    rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
-    band_cols = []
-    for b in range(bands):
-        parts = ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
-        band_cols.append(F.expr(f"md5(concat_ws('|', {parts}))").alias(f"band{b}"))
-    banded = sigs.select(F.col(id_col).alias("id"), *band_cols)
-    buckets = banded.selectExpr(
-        "id",
-        "posexplode(array(" + ", ".join(f"band{b}" for b in range(bands)) + ")) "
-        "AS (band, bucket)",
-    )
+    buckets = lsh_buckets(df, id_col, text_col, k, bands, n)
     cands = (
         buckets.alias("a")
         .join(

@@ -108,25 +108,36 @@ def ivf_assignments(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (1 probe).
 
-    centroids: (centroid_id, cvec). At scale this is ONE broadcast join —
-    the vector table never shuffles; the cluster id becomes a partition
-    column so a query reads a single partition.
+    centroids: (centroid_id, cvec). The centroid table collapses to a single
+    array-of-structs row (tiny — one shuffle of the centroid table only),
+    which is broadcast; the argmax is then a row-local ``aggregate`` fold
+    over that array. The vector table NEVER shuffles — the plan between scan
+    and assignment is Scan → BroadcastNestedLoopJoin(1 row) → Project, no
+    Exchange (docs/PLANS.md §5). Ties on the 4-dp-rounded cosine keep the
+    smallest centroid_id (ascending fold + strict >), matching the oracle's
+    (csim DESC, centroid_id) ordering.
     """
-    from pyspark.sql import Window
-
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        vec_col,
-        "centroid_id",
-        F.round(F.expr(COS_EXPR.format(a=vec_col, b="cvec")), 4).alias("csim"),
+    cents = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                    F.col("cvec"),
+                )
+            )
+        ).alias("cents")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
+    cos = COS_EXPR.format(a=vec_col, b="c.cvec")
+    argmax = (
+        "aggregate(cents, "
+        "named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)), "
+        f"(acc, c) -> CASE WHEN round({cos}, 4) > acc.sim "
+        f"THEN named_struct('cid', c.centroid_id, 'sim', round({cos}, 4)) "
+        "ELSE acc END, "
+        "acc -> acc.cid)"
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    return df.crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, F.expr(argmax).alias("centroid_id")
     )
 
 

@@ -1,0 +1,121 @@
+"""Scale-guard regression tests: the two round-1 'job killer at 10^12 rows'
+findings — the LSH empty-shingle hot bucket and the IVF assignment shuffle —
+plus the single-shuffle exact-dedup plan.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestLshShortTextSkew:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # heavy short-text tail: 5000 docs with < 3 words (no shingles),
+        # plus two genuine near-duplicates
+        shorts = [Row(doc_id=i, payload=f"ok {i % 7}") for i in range(5000)]
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the observer takes careful notes about every single move"
+        )
+        dups = [
+            Row(doc_id=9001, payload=base),
+            Row(doc_id=9002, payload=base + " extra tail"),
+        ]
+        return spark.createDataFrame(shorts + dups)
+
+    def test_short_texts_never_enter_buckets(self, spark, skewed):
+        from doc_parser_spark.operators.dedup import lsh_buckets
+
+        buckets = lsh_buckets(skewed, "doc_id", "payload")
+        # the 5000 shingle-less docs are filtered before banding: no hot
+        # bucket, candidate volume stays linear in the real-document count
+        assert buckets.where(F.col("id") < 9000).count() == 0
+        max_bucket = (
+            buckets.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+        )
+        assert max_bucket <= 2
+
+    def test_pairs_only_real_near_dups(self, spark, skewed):
+        from doc_parser_spark.operators.dedup import lsh_candidate_pairs
+
+        pairs = lsh_candidate_pairs(skewed, "doc_id", "payload").collect()
+        assert [(p.a_id, p.b_id) for p in pairs] == [(9001, 9002)]
+
+
+class TestIvfRowLocalAssignment:
+    def test_no_hash_shuffle_between_scan_and_assignment(self, spark):
+        from doc_parser_spark.operators.similarity import ivf_assignments
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        centroids = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        assigned = ivf_assignments(emb, "vec_id", "embedding", centroids)
+        plan = _plan(assigned)
+        # the big table must not shuffle: the only exchanges are the tiny
+        # centroid-side SinglePartition agg + its broadcast
+        assert "hashpartitioning" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
+    def test_assignment_matches_bruteforce(self, spark):
+        import numpy as np
+
+        from doc_parser_spark.operators.similarity import ivf_assignments
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+        centroids = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        got = {
+            r.vec_id: r.centroid_id
+            for r in ivf_assignments(
+                emb, "vec_id", "embedding", centroids
+            ).collect()
+        }
+        rows = emb.collect()
+        cents = [(r.vec_id, np.array(r.embedding, dtype=np.float64))
+                 for r in rows if r.vec_id % 50 == 0]
+        for r in rows:
+            v = np.array(r.embedding, dtype=np.float64)
+            best = min(
+                cents,
+                key=lambda c: (
+                    -round(float(v @ c[1] / (np.linalg.norm(v) * np.linalg.norm(c[1]))), 4),
+                    c[0],
+                ),
+            )
+            assert got[r.vec_id] == best[0], r.vec_id
+
+
+class TestExactDedupPlan:
+    def test_single_exchange(self, spark):
+        from doc_parser_spark.operators.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        out = exact_dedup(docs, "doc_id", "text")
+        plan = _plan(out)
+        assert plan.count("Arguments: hashpartitioning") == 1
+        # correctness: exactly one keeper per hash
+        per_hash = out.groupBy("doc_hash").agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep")
+        )
+        assert per_hash.where(F.col("n_keep") != 1).count() == 0
