@@ -25,7 +25,9 @@ _CHAR_MAP = [
 
 def sanitize_text(lines: list[str]) -> str:
     if len(lines) <= 1:
-        sanitized = " ".join(lines)
+        # exact reference behavior (page_assemble_model.py:35-37): single-line
+        # input returns EARLY — no character normalization, no strip
+        return " ".join(lines)
     else:
         lines = list(lines)
         for ix in range(len(lines) - 1):

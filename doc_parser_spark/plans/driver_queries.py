@@ -250,26 +250,49 @@ FROM scored
 # P6 — text sanitization (page_assemble_model.py:34-65)
 # ---------------------------------------------------------------------------
 def q_p6_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three columns exercise all three reference paths: hyphen de-wrap,
+    space-join of wrapped lines, and the single-line EARLY RETURN (which
+    skips normalization and strip entirely — page_assemble_model.py:35-37)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(PAYLOAD_UNICODE).alias("payload")
     )
 
     @F.pandas_udf(T.StringType())
-    def _san(texts: pd.Series) -> pd.Series:
+    def _dewrap(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: sanitize_text([t + " hy-", "phen end"])
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _joined(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: sanitize_text([t, "tail"]))
+
+    @F.pandas_udf(T.StringType())
+    def _single(texts: pd.Series) -> pd.Series:
         return texts.fillna("").map(lambda t: sanitize_text([t]))
 
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        _san("payload").alias("sanitized"),
+        _dewrap("payload").alias("dewrapped"),
+        _joined("payload").alias("joined"),
+        _single("payload").alias("single_raw"),
     )
 
 
+_NORMALIZE_SQL = (
+    "trim(replace(replace(replace(replace(replace(replace("
+    "{x},"
+    " '⁄', '/'), '’', ''''), '‘', ''''),"
+    " '“', '\"'), '”', '\"'), '•', '·'))"
+)
+
 ORACLE_P6 = f"""
 SELECT doc_id::BIGINT AS doc_id,
-       trim(replace(replace(replace(replace(replace(replace(
-         {PAYLOAD_UNICODE},
-         '⁄', '/'), '’', ''''), '‘', ''''),
-         '“', '"'), '”', '"'), '•', '·')) AS sanitized
+       {_NORMALIZE_SQL.format(x=PAYLOAD_UNICODE + " || ' hyphen end'")}
+         AS dewrapped,
+       {_NORMALIZE_SQL.format(x=PAYLOAD_UNICODE + " || ' tail'")}
+         AS joined,
+       {PAYLOAD_UNICODE} AS single_raw
 FROM documents
 """
 

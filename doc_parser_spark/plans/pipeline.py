@@ -171,7 +171,25 @@ def run_extraction_job(
 
 
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
-    return spark.read.parquet(_extracted_path(output_path))
+    """Committed rows only. Data lands in extracted/ BEFORE the manifest
+    commit, so a crash between the two leaves orphan rows that the resumed
+    run re-emits under a new job_run_id — reading raw files would double
+    those buckets. The manifest's (partition_id, job_run_id) pairs are the
+    commit log; a broadcast semi-join filters to them (manifest ≤ a few rows
+    per bucket — no shuffle of the big side)."""
+    df = spark.read.parquet(_extracted_path(output_path))
+    try:
+        committed = (
+            spark.read.parquet(_manifest_path(output_path))
+            .select(F.col("partition_id").alias("bucket_id"), "job_run_id")
+            .distinct()
+        )
+    except Exception:
+        # no manifest → nothing was ever committed
+        return df.where(F.lit(False))
+    return df.join(
+        F.broadcast(committed), ["bucket_id", "job_run_id"], "left_semi"
+    )
 
 
 def read_metrics(spark: SparkSession, output_path: str) -> DataFrame:

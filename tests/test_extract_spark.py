@@ -183,6 +183,38 @@ class TestPipelineJob:
             == len(transcripts_pdf)
         )
 
+    def test_crash_between_data_and_manifest_leaves_no_duplicates(
+        self, spark, transcripts_pdf, tmp_path
+    ):
+        """Mid-write crash sim: data written to extracted/ but the manifest
+        commit never happened. The rerun reprocesses those buckets (orphan
+        rows get a second copy under a new job_run_id); read_extracted must
+        return only manifest-committed rows — exactly one copy."""
+        import shutil
+
+        from doc_parser_spark.plans.pipeline import (
+            read_extracted,
+            run_extraction_job,
+        )
+
+        df = spark.createDataFrame(transcripts_pdf)
+        out = str(tmp_path / "out_crash")
+        run_extraction_job(spark, df, out, n_buckets=8, job_run_id="c1")
+        # simulate the crash: the parquet data survived, the manifest didn't
+        shutil.rmtree(str(tmp_path / "out_crash" / "_manifest"))
+        assert read_extracted(spark, out).count() == 0  # nothing committed
+
+        run_extraction_job(spark, df, out, n_buckets=8, job_run_id="c2")
+        final = read_extracted(spark, out)
+        assert final.count() == len(transcripts_pdf)
+        assert (
+            final.select("conv_id", "turn_idx").distinct().count()
+            == len(transcripts_pdf)
+        )
+        # the orphan copy is still on disk but filtered by the commit log
+        raw = spark.read.parquet(str(tmp_path / "out_crash" / "extracted"))
+        assert raw.count() == 2 * len(transcripts_pdf)
+
     def test_stable_ordering_within_bucket_files(self, spark, transcripts_pdf, tmp_path):
         from doc_parser_spark.plans.pipeline import run_extraction_job, read_extracted
 

@@ -80,7 +80,14 @@ class TestSanitize:
         assert sanitize_text(["one", "two"]) == "one two"
 
     def test_unicode_map(self):
-        assert sanitize_text(["it’s “x” • y ⁄ z"]) == "it's \"x\" · y / z"
+        # normalization only runs on the multi-line path
+        assert sanitize_text(["it’s “x”", "• y ⁄ z"]) == "it's \"x\" · y / z"
+
+    def test_single_line_early_return_is_raw(self):
+        # exact reference behavior (page_assemble_model.py:35-37): single-line
+        # input returns early — NO normalization, NO strip
+        assert sanitize_text(["it’s “x” • y ⁄ z"]) == "it’s “x” • y ⁄ z"
+        assert sanitize_text([" padded "]) == " padded "
 
     def test_single_line(self):
         assert sanitize_text(["only"]) == "only"
