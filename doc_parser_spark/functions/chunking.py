@@ -46,6 +46,7 @@ class ChunkItem:
     label: str
     text: str
     headers: dict = field(default_factory=dict)  # {level: heading_text}
+    index: int = -1  # position in the source item stream (page lookup)
 
 
 @dataclass
@@ -53,6 +54,9 @@ class Chunk:
     text: str
     headings: list[str]
     n_tokens: int
+    # source-item indices feeding this chunk — per-chunk page bounds come
+    # from THESE items only (preprocessor.py:294-331), not the whole turn
+    item_indices: list[int] = field(default_factory=list)
 
 
 def with_heading_context(items: list[tuple[str, str]]) -> list[ChunkItem]:
@@ -65,13 +69,13 @@ def with_heading_context(items: list[tuple[str, str]]) -> list[ChunkItem]:
     """
     out: list[ChunkItem] = []
     stack: dict[int, str] = {}
-    for label, text in items:
+    for i, (label, text) in enumerate(items):
         if label == LABEL_TITLE:
             stack = {0: text}
         elif label == LABEL_SECTION_HEADER:
             stack = {k: v for k, v in stack.items() if k < 1}
             stack[1] = text
-        out.append(ChunkItem(label, text, dict(stack)))
+        out.append(ChunkItem(label, text, dict(stack), index=i))
     return out
 
 
@@ -104,13 +108,58 @@ def _render(items: list[ChunkItem]) -> tuple[str, list[str]]:
 
 def _mk_chunk(items: list[ChunkItem]) -> Chunk:
     text, used = _render(items)
-    return Chunk(text=text, headings=used, n_tokens=count_tokens(text))
+    return Chunk(
+        text=text,
+        headings=used,
+        n_tokens=count_tokens(text),
+        item_indices=[it.index for it in items if it.index >= 0],
+    )
+
+
+# the reference splits oversize tables at a FIXED 4096-token budget,
+# independent of the chunker's max_tokens (intelligent_processor.py:630)
+TABLE_SPLIT_TOKENS = 4096
+
+
+def split_table_text(table_text: str, max_tokens: int = TABLE_SPLIT_TOKENS) -> list[str]:
+    """_split_table_text port (intelligent_processor.py:538-553): token-based
+    split of a rendered table. The reference delegates to semchunk over its
+    tokenizer; this port packs greedily on the same separator hierarchy
+    (rows, then cells/words) under the deterministic count_tokens estimate.
+    """
+    if not table_text or count_tokens(table_text) <= max_tokens:
+        return [table_text]
+
+    def pack(pieces: list[str], sep: str) -> list[str]:
+        out: list[str] = []
+        cur: list[str] = []
+        for p in pieces:
+            trial = sep.join(cur + [p])
+            if cur and count_tokens(trial) > max_tokens:
+                out.append(sep.join(cur))
+                cur = [p]
+            else:
+                cur.append(p)
+        if cur:
+            out.append(sep.join(cur))
+        return out
+
+    chunks: list[str] = []
+    for line_group in pack(table_text.split("\n"), "\n"):
+        if count_tokens(line_group) <= max_tokens:
+            chunks.append(line_group)
+        else:  # a single monster row: fall back to word packing
+            chunks.extend(pack(line_group.split(" "), " "))
+    return chunks or [table_text]
 
 
 def greedy_chunks(
     items: list[ChunkItem], max_tokens: int = 2000
 ) -> list[Chunk]:
-    """The HybridChunker packing loop + merge-small pass."""
+    """The HybridChunker packing loop + merge-small pass. Oversize tables
+    (rendered chunk > max_tokens) split at TABLE_SPLIT_TOKENS with the
+    heading context re-emitted on every piece
+    (intelligent_processor.py:626-653)."""
     if not items:
         return []
     chunks: list[Chunk] = []
@@ -121,7 +170,16 @@ def greedy_chunks(
             if buf:
                 chunks.append(_mk_chunk(buf))
                 buf = []
-            chunks.append(_mk_chunk([item]))
+            tchunk = _mk_chunk([item])
+            if tchunk.n_tokens > max_tokens:
+                for piece in split_table_text(item.text):
+                    chunks.append(
+                        _mk_chunk(
+                            [ChunkItem(item.label, piece, item.headers, item.index)]
+                        )
+                    )
+            else:
+                chunks.append(tchunk)
             continue
         test = buf + [item]
         test_text, _ = _render(test)
@@ -155,7 +213,12 @@ def _merge_small(chunks: list[Chunk], max_tokens: int) -> list[Chunk]:
         for h in b.headings:
             if h not in headings:
                 headings.append(h)
-        return Chunk(text=text, headings=headings, n_tokens=count_tokens(text))
+        return Chunk(
+            text=text,
+            headings=headings,
+            n_tokens=count_tokens(text),
+            item_indices=a.item_indices + b.item_indices,
+        )
 
     for chunk in chunks:
         if chunk.n_tokens > max_tokens:

@@ -51,6 +51,9 @@ def chunk_turns(extracted: DataFrame, max_tokens: int = 2000) -> DataFrame:
                 ]
                 pages = [int(s["page"]) for s in spans]
                 for ci, chunk in enumerate(chunk_items(items, max_tokens)):
+                    # per-chunk page bounds from the chunk's OWN items
+                    # (preprocessor.py:294-331), not the whole turn
+                    own = [pages[j] for j in chunk.item_indices] or pages
                     rows.append(
                         (
                             conv_id,
@@ -59,8 +62,8 @@ def chunk_turns(extracted: DataFrame, max_tokens: int = 2000) -> DataFrame:
                             chunk.text,
                             chunk.headings,
                             chunk.n_tokens,
-                            min(pages),
-                            max(pages),
+                            min(own),
+                            max(own),
                         )
                     )
             yield pd.DataFrame(

@@ -85,6 +85,44 @@ class TestKernel:
     def test_empty(self):
         assert greedy_chunks([], 2000) == []
 
+    def test_oversize_table_splits_at_4096(self):
+        """intelligent_processor.py:626-653: a table chunk over max_tokens
+        splits at the fixed 4096-token budget; every piece keeps the heading
+        context and the pieces carry the full table content."""
+        from doc_parser_spark.functions.chunking import TABLE_SPLIT_TOKENS
+
+        rows = "\n".join(
+            "| " + " | ".join(f"cell{r}c{c}" for c in range(20)) + " |"
+            for r in range(400)
+        )
+        items = with_heading_context(
+            [("title", "Big Tables"), ("table", rows), ("text", "after")]
+        )
+        assert count_tokens(rows) > TABLE_SPLIT_TOKENS
+        chunks = greedy_chunks(items, max_tokens=2000)
+        table_chunks = [c for c in chunks if "cell0c0" in c.text or "cell" in c.text]
+        assert len(table_chunks) >= 2
+        for c in table_chunks:
+            assert "Big Tables" in c.headings
+            # each piece respects the fixed split budget (headings add a bit)
+            assert c.n_tokens <= TABLE_SPLIT_TOKENS + count_tokens("Big Tables") + 2
+        # no content lost: concatenated pieces contain every row marker
+        joined = "\n".join(c.text for c in chunks)
+        assert all(f"cell{r}c0" in joined for r in range(0, 400, 97))
+
+    def test_small_table_untouched(self):
+        items = with_heading_context([("table", "| a | b |")])
+        chunks = greedy_chunks(items, max_tokens=2000)
+        assert len(chunks) == 1 and chunks[0].text == "| a | b |"
+
+    def test_item_indices_tracked_through_merge(self):
+        items = with_heading_context(
+            [("title", "T"), ("text", "a b c"), ("text", "d e f")]
+        )
+        chunks = greedy_chunks(items, max_tokens=2000)
+        assert len(chunks) == 1
+        assert chunks[0].item_indices == [0, 1, 2]
+
 
 class TestOperator:
     def test_chunk_and_compose(self, spark, transcripts_pdf):
@@ -115,3 +153,40 @@ class TestOperator:
         chunks = chunk_turns(extract_turns(df), max_tokens=100).toPandas()
         # items are small in the corpus → no oversize single items expected
         assert (chunks["n_tokens"] <= 130).all()
+
+    def test_per_chunk_page_bounds(self, spark):
+        """A multi-page turn's chunks get page bounds from their OWN items
+        (preprocessor.py:294-331), not the turn-wide min/max."""
+        import pandas as pd
+
+        from doc_parser_spark.datamodel import EXTRACTED_SCHEMA
+        from doc_parser_spark.operators.chunking import chunk_turns
+
+        p1 = "page one words " * 20
+        p2 = "page two words " * 20
+        text = p1 + "\n\n" + p2
+        row = {
+            "conv_id": "c0",
+            "turn_idx": 0,
+            "content_type": "pdf",
+            "extracted_text": text,
+            "spans": [
+                {"start": 0, "end": len(p1), "label": "paragraph", "page": 1},
+                {"start": len(p1) + 2, "end": len(text), "label": "paragraph",
+                 "page": 2},
+            ],
+            "parse_status": "success",
+            "parse_score": 1.0,
+            "n_char": len(text),
+            "n_word": 80,
+            "n_line": 3,
+        }
+        extracted = spark.createDataFrame(
+            pd.DataFrame([row]), schema=EXTRACTED_SCHEMA
+        )
+        # budget forces one chunk per paragraph
+        out = chunk_turns(extracted, max_tokens=30).toPandas()
+        assert len(out) == 2
+        out = out.sort_values("chunk_idx")
+        assert out["i_page"].tolist() == [1, 2]
+        assert out["e_page"].tolist() == [1, 2]
