@@ -1733,3 +1733,121 @@ ORACLES.update(
         "text_scrub": ORACLE_TEXT_SCRUB,
     }
 )
+
+
+# ===========================================================================
+# batch 12 — GenOSVectorMeta FULL field set through the real compose_vectors
+# (src/preprocessor.py:86-103; parse_created_date/parse_authors at
+# facade/intelligent_processor.py:1088-1189)
+# ===========================================================================
+PAYLOAD_DATE_TEXT = (
+    "CASE doc_id % 5 WHEN 0 THEN '2023-05-07' WHEN 1 THEN '2023-5-7' "
+    "WHEN 2 THEN '2023-12' WHEN 3 THEN '1999' ELSE 'not a date' END"
+)
+PAYLOAD_AUTHORS = (
+    "CASE doc_id % 4 WHEN 0 THEN 'Alice, Bob' WHEN 1 THEN 'Eve,Eve,Frank' "
+    "WHEN 2 THEN 'Carol;Dave; Alice' ELSE 'Single Author' END"
+)
+REG_DATE_FIXED = "2026-01-01T00:00:00Z"
+
+
+def q_o1_vector_meta_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route paragraph chunks + synthetic metadata columns through the REAL
+    compose_vectors operator; every GenOSVectorMeta field is oracled."""
+    from doc_parser_spark.operators.chunking import compose_vectors
+
+    paras = _paragraphs(spark, sf_dir)
+    chunks = paras.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        (F.col("para_idx") - 1).cast("int").alias("chunk_idx"),
+        F.col("para").alias("text"),
+        F.array().cast("array<string>").alias("headings"),
+        F.lit(1).cast("int").alias("i_page"),
+        F.lit(1).cast("int").alias("e_page"),
+        F.expr(
+            "'[{\"start\":0,\"end\":' || length(para) "
+            "|| ',\"label\":\"paragraph\",\"page\":1}]'"
+        ).alias("chunk_spans"),
+        F.expr(PAYLOAD_DATE_TEXT.replace("doc_id", "cast(doc_id AS INT)")).alias(
+            "date_text"
+        ),
+        F.expr(PAYLOAD_AUTHORS.replace("doc_id", "cast(doc_id AS INT)")).alias(
+            "authors_raw"
+        ),
+    )
+    media = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit('["img_'), F.col("doc_id").cast("string"), F.lit('.png"]')
+        ).alias("media_files"),
+    )
+    out = compose_vectors(chunks, reg_date=REG_DATE_FIXED, media=media)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "text",
+        "n_char",
+        "n_word",
+        "n_line",
+        "i_chunk_on_doc",
+        "n_chunk_of_doc",
+        "i_chunk_on_page",
+        "n_chunk_of_page",
+        "n_page",
+        "title",
+        "reg_date",
+        "created_date",
+        "authors",
+        F.col("chunk_bboxes"),
+        "media_files",
+    )
+
+
+ORACLE_O1_FULL = f"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split({PAYLOAD_PARAS}, chr(10) || ' ' || chr(10)))
+           AS part,
+         unnest(range(1, len(string_split({PAYLOAD_PARAS},
+                 chr(10) || ' ' || chr(10))) + 1)) AS pos
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, pos,
+         trim(regexp_replace(part, '[ \t]*\n[ \t]*', ' ', 'g')) AS para
+  FROM parts
+), paras AS (
+  SELECT doc_id, para,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS para_idx
+  FROM cleaned WHERE para <> ''
+)
+SELECT doc_id::BIGINT AS doc_id,
+       para AS text,
+       length(para)::INT AS n_char,
+       len(string_split(para, ' '))::INT AS n_word,
+       len(string_split(para, chr(10)))::INT AS n_line,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY para_idx) - 1)::INT
+         AS i_chunk_on_doc,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS n_chunk_of_doc,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY para_idx) - 1)::INT
+         AS i_chunk_on_page,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS n_chunk_of_page,
+       0::INT AS n_page,
+       NULL::VARCHAR AS title,
+       '{REG_DATE_FIXED}' AS reg_date,
+       (CASE doc_id % 5 WHEN 0 THEN 20230507 WHEN 1 THEN 20230507
+         WHEN 2 THEN 20231201 WHEN 3 THEN 19990101 ELSE 0 END)::INT
+         AS created_date,
+       CASE doc_id % 4 WHEN 0 THEN '["Alice","Bob"]'
+         WHEN 1 THEN '["Eve","Frank"]'
+         WHEN 2 THEN '["Alice","Carol","Dave"]'
+         ELSE '["Single Author"]' END AS authors,
+       '[{{"start":0,"end":' || length(para)
+         || ',"label":"paragraph","page":1}}]' AS chunk_bboxes,
+       CASE WHEN doc_id % 3 = 0 THEN '["img_' || doc_id || '.png"]'
+            ELSE '[]' END AS media_files
+FROM paras
+"""
+
+QUERIES["o1_vector_meta_full"] = q_o1_vector_meta_full
+ORACLES["o1_vector_meta_full"] = ORACLE_O1_FULL
