@@ -1851,3 +1851,64 @@ FROM paras
 
 QUERIES["o1_vector_meta_full"] = q_o1_vector_meta_full
 ORACLES["o1_vector_meta_full"] = ORACLE_O1_FULL
+
+
+# ===========================================================================
+# batch 13 — true 2-D bbox fixpoint merge (genos_utils.py:114-160)
+# Oracle construction: boxes live in two disjoint y-bands (no cross-band
+# overlap possible), so within a band the 2-D fixpoint reduces EXACTLY to
+# 1-D x-interval islands with tolerance — expressible as gaps-and-islands
+# SQL. Genuine 2-D chain-growth cases (where a merged box bridges boxes
+# that never overlapped directly) are covered in tests/test_bbox_merge.py
+# against the kernel, where SQL cannot express the semantics.
+# ===========================================================================
+def q_o3_bbox_merge_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.spans import merge_bboxes_2d
+
+    ev = _events(spark, sf_dir)
+    boxes = ev.select(
+        "user_id",
+        F.lit(1).cast("int").alias("page"),
+        F.lit("text").alias("btype"),
+        F.col("value").alias("l"),
+        ((F.col("event_id") % 2) * 100.0).alias("t"),
+        (F.col("value") + 10.0).alias("r"),
+        ((F.col("event_id") % 2) * 100.0 + 10.0).alias("b"),
+    )
+    merged = merge_bboxes_2d(boxes, ["user_id"], x_tolerance=1.0, y_tolerance=1.0)
+    return merged.groupBy(
+        "user_id", (F.col("t") / 100.0).cast("int").alias("band")
+    ).agg(
+        F.count("*").alias("n_boxes"),
+        F.round(F.sum(F.col("r") - F.col("l")), 4).alias("total_w"),
+    )
+
+
+ORACLE_O3_BBOX_2D = """
+WITH boxes AS (
+  SELECT user_id, (event_id % 2)::INT AS band,
+         value AS l, value + 10.0 AS r, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, band, l, r, event_id,
+         CASE WHEN l > coalesce(max(r) OVER (PARTITION BY user_id, band
+              ORDER BY l, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308) + 1.0
+              THEN 1 ELSE 0 END AS new_island
+  FROM boxes
+), islands AS (
+  SELECT user_id, band, l, r,
+         sum(new_island) OVER (PARTITION BY user_id, band ORDER BY l, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, band, island_id, min(l) AS ml, max(r) AS mr
+  FROM islands GROUP BY user_id, band, island_id
+)
+SELECT user_id, band, count(*) AS n_boxes,
+       round(sum(mr - ml), 4) AS total_w
+FROM merged GROUP BY user_id, band
+"""
+
+QUERIES["o3_bbox_merge_2d"] = q_o3_bbox_merge_2d
+ORACLES["o3_bbox_merge_2d"] = ORACLE_O3_BBOX_2D
