@@ -71,6 +71,21 @@ def lsh_bucket_expr(vec_col: str, planes: int = 8) -> str:
     return f"concat_ws('', {bits})"
 
 
+def lsh_bucket_oracle_sql(vec_sql: str, planes: int = 8) -> str:
+    """DuckDB mirror of ``lsh_bucket_expr``: same md5-derived hyperplane
+    signs, same left-to-right double fold, so the bucket strings agree
+    bit-for-bit with the Spark side."""
+    bits = []
+    for p in range(planes):
+        dot = (
+            f"list_sum(list_transform(range(0, len({vec_sql})), "
+            f"d -> {vec_sql}[d + 1]::DOUBLE * "
+            f"((('0x' || substr(md5('{p}_' || d), 1, 1))::BIGINT % 2) * 2 - 1)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -961,8 +961,9 @@ LIMIT 10
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH bucket — no SQL oracle (rows-only);
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    """ANN via random-hyperplane LSH bucket; oracled in batch 15 via
+    lsh_bucket_oracle_sql, recall vs brute force additionally asserted in
+    tests/test_similarity.py."""
     emb = _embeddings(spark, sf_dir)
     return ann_lsh_topk(
         emb, "vec_id", "embedding", _query_vec(spark, sf_dir), k=10, planes=6
@@ -1049,7 +1050,7 @@ ORACLES.update(
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
         "sim_cosine_scores": ORACLE_SIM_COSINE,
         "sim_topk": ORACLE_SIM_TOPK,
-        # sim_ann_lsh: intentionally no oracle (rows-only check)
+        # sim_ann_lsh: oracled later (batch 15, lsh_bucket_oracle_sql)
         "join_agg_revenue": ORACLE_JOIN_AGG,
         "events_tumbling": ORACLE_EVENTS_TUMBLING,
     }
@@ -1912,3 +1913,147 @@ FROM merged GROUP BY user_id, band
 
 QUERIES["o3_bbox_merge_2d"] = q_o3_bbox_merge_2d
 ORACLES["o3_bbox_merge_2d"] = ORACLE_O3_BBOX_2D
+
+
+# ===========================================================================
+# batch 14 — dedicated per-backend oracles for B3 (pdfish), B6 (markdown),
+# B7 (csv): each backend previously rode only inside the flagship mixed
+# query; these give every implemented SURVEY §2 backend its own hard signal.
+# ===========================================================================
+PAYLOAD_PDFISH = (
+    "'%PDF-SIM' || chr(10) || '#page 1 612.0 792.0' || chr(10) "
+    "|| '72.0 10.0 300.0 22.0 Header Doc ' || doc_id || chr(10) "
+    "|| '72.0 100.0 300.0 112.0 alpha ' || doc_id || chr(10) "
+    "|| '72.0 114.0 300.0 126.0 bravo' || chr(10) "
+    "|| '72.0 200.0 300.0 212.0 ' || text || chr(10) "
+    "|| '72.0 780.0 300.0 791.0 Footer ' || doc_id"
+)
+
+
+def q_b3_pdfish_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: header/footer bands dropped, close rows join into one sanitized
+    paragraph, a >1.5x-row-height gap breaks the paragraph."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_PDFISH).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "extracted_text",
+    )
+
+
+ORACLE_B3 = """
+SELECT doc_id::BIGINT AS doc_id, 'pdf' AS content_type,
+       'alpha ' || doc_id || ' bravo' || chr(10) || chr(10) || text
+         AS extracted_text
+FROM documents
+"""
+
+PAYLOAD_MD = (
+    "'# Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) "
+    "|| '- alpha ' || doc_id || chr(10) || '- bravo' || chr(10) || chr(10) "
+    "|| '```' || chr(10) || 'code line ' || doc_id || chr(10) || '```'"
+)
+
+
+def q_b6_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: title, paragraph, bullet list, fenced code — through the full
+    sniff → route → extract surface."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_MD).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "extracted_text",
+    )
+
+
+ORACLE_B6 = """
+SELECT doc_id::BIGINT AS doc_id, 'markdown' AS content_type,
+       'Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+         || '- alpha ' || doc_id || chr(10) || chr(10) || '- bravo'
+         || chr(10) || chr(10) || 'code line ' || doc_id AS extracted_text
+FROM documents
+"""
+
+PAYLOAD_CSV = (
+    "'name,score' || chr(10) || 'doc' || doc_id || ',' || (doc_id % 97) "
+    "|| chr(10) || 'd' || doc_id || 'x,' || ((doc_id + 13) % 89)"
+)
+
+
+def q_b7_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: dialect sniff + uniform-grid render (csv_backend.py:80-95)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_CSV).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "extracted_text",
+    )
+
+
+ORACLE_B7 = """
+SELECT doc_id::BIGINT AS doc_id, 'csv' AS content_type,
+       '| name | score |' || chr(10) || '|---|---|' || chr(10)
+         || '| doc' || doc_id || ' | ' || (doc_id % 97) || ' |' || chr(10)
+         || '| d' || doc_id || 'x | ' || ((doc_id + 13) % 89) || ' |'
+         AS extracted_text
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "b3_pdfish_extract": q_b3_pdfish_extract,
+        "b6_md_extract": q_b6_md_extract,
+        "b7_csv_extract": q_b7_csv_extract,
+    }
+)
+ORACLES.update(
+    {
+        "b3_pdfish_extract": ORACLE_B3,
+        "b6_md_extract": ORACLE_B6,
+        "b7_csv_extract": ORACLE_B7,
+    }
+)
+
+
+# ===========================================================================
+# batch 15 — DuckDB oracle for the ANN-LSH query (was the one rows-only row):
+# the hyperplane-sign expression is deterministic SQL, portable the same way
+# simhash_oracle_sql is.
+# ===========================================================================
+from doc_parser_spark.operators.similarity import (  # noqa: E402
+    lsh_bucket_oracle_sql,
+)
+
+ORACLE_SIM_ANN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {lsh_bucket_oracle_sql('embedding', 6)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT bucket AS qbucket, embedding AS qvec FROM b WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[], q.qvec::DOUBLE[]),
+             4) AS score
+FROM b, q
+WHERE b.bucket = q.qbucket
+ORDER BY score DESC, b.vec_id
+LIMIT 10
+"""
+
+ORACLES["sim_ann_lsh"] = ORACLE_SIM_ANN_LSH
