@@ -74,6 +74,18 @@ def _esc(text: str) -> str:
     return text.replace("&", "&amp;").replace("_", "\\_")
 
 
+def _md_text(it: Item) -> str:
+    """Item text for md output. Markdown-sourced items carry inline segments
+    (marko-AST analog): raw-text segments get escaped, code spans / links /
+    formatted spans stay verbatim — matching the inline_and_formatting
+    groundtruth where `not_to_escape` and link URLs keep their underscores."""
+    if it.inline_parts is None:
+        return _esc(it.text)
+    return " ".join(
+        _esc(s) if kind == "text" else s for kind, s in it.inline_parts
+    )
+
+
 def export_markdown(items: list[Item]) -> str:
     body_items = [it for it in items if it.layer == "body"]
     blocks: list[str] = []
@@ -95,7 +107,7 @@ def export_markdown(items: list[Item]) -> str:
                     marker = li.marker if li.marker else f"{li.list_position}."
                 else:
                     marker = "-"
-                run.append(f"{indent}{marker} {_esc(li.text)}")
+                run.append(f"{indent}{marker} {_md_text(li)}")
                 i += 1
             blocks.append("\n".join(run))
             continue
@@ -106,16 +118,16 @@ def export_markdown(items: list[Item]) -> str:
                 i += 1
             blocks.append("<!-- image -->")
         elif it.label == "title":
-            blocks.append("# " + _esc(it.text))
+            blocks.append("# " + _md_text(it))
         elif it.label == "section_header":
-            blocks.append("#" * (it.level + 1) + " " + _esc(it.text))
+            blocks.append("#" * (it.level + 1) + " " + _md_text(it))
         elif it.label == "code":
             blocks.append(f"```\n{it.text}\n```")
         elif it.label == "table":
             if it.table_grid:
                 blocks.append(render_md_table(it.table_grid))
         elif it.text:
-            blocks.append(_esc(it.text))
+            blocks.append(_md_text(it))
         i += 1
     return "\n\n".join(blocks)
 

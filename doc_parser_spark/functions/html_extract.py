@@ -91,6 +91,10 @@ class Item:
     in_boilerplate_container: bool = False
     table_grid: Optional[list[list[str]]] = None
     children: list = field(default_factory=list)
+    # markdown-sourced items: (kind, serialized) inline segments — kind
+    # "text" gets markdown-escaped at export, "code"/"link"/"fmt" stay
+    # verbatim (marko inline-AST analog; None for html-sourced items)
+    inline_parts: Optional[list[tuple[str, str]]] = None
 
 
 class _Group:

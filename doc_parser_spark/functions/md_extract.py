@@ -42,6 +42,20 @@ from doc_parser_spark.functions.html_extract import (
     serialize_items,
 )
 
+# inline markup (marko inline-AST analog, md_backend.py inline handling):
+# code spans, links, ***both***, **strong**, *em*. Each element becomes its
+# own segment; segments join with ONE space — this reproduces marko's
+# node-join artifact ('***both*** .', '( `code` )') byte-for-byte against
+# the reference's inline_and_formatting groundtruth.
+_INLINE_RE = re.compile(
+    r"(?P<tick>`+)(?P<code>.+?)(?P=tick)"
+    r"|\[(?P<label>[^\]]*)\]\((?P<url>[^)\s]*)\)"
+    r"|\*\*\*(?P<both>[^*]+)\*\*\*"
+    r"|\*\*(?P<strong>[^*]+)\*\*"
+    r"|\*(?P<em>[^*\s][^*]*)\*"
+)
+_INLINE_MARKERS = ("`", "*", "[")
+
 _HEADING_RE = re.compile(r"^(#{1,6})(?:\s+(.*\S))?\s*$")
 _LIST_RE = re.compile(r"^([\t ]*)([-*+]|\d+[.)])(?:\s+(.*\S))?\s*$")
 _OLIST_TEXT_RE = re.compile(r"^(\d+)[.)]\s+(.*\S)\s*$")
@@ -103,6 +117,74 @@ class _ListState:
         return len(self.stack), self.stack[-1]["pos"]
 
 
+def parse_inline(text: str) -> list[tuple[str, str]]:
+    """Inline markup → (kind, serialized) segments. Raw-text segments are
+    stripped and dropped when whitespace-only; markers are preserved in the
+    serialized form. Fast path: markup-free text stays one untouched
+    segment."""
+    if not any(c in text for c in _INLINE_MARKERS):
+        return [("text", text)]
+    parts: list[tuple[str, str]] = []
+    pos = 0
+    for m in _INLINE_RE.finditer(text):
+        raw = text[pos : m.start()].strip()
+        if raw:
+            parts.append(("text", raw))
+        if m.group("code") is not None:
+            parts.append(("code", f"`{m.group('code')}`"))
+        elif m.group("label") is not None:
+            label = join_inline(parse_inline(m.group("label")))
+            parts.append(("link", f"[{label}]({m.group('url')})"))
+        elif m.group("both") is not None:
+            inner = join_inline(parse_inline(m.group("both")))
+            parts.append(("fmt", f"***{inner}***"))
+        elif m.group("strong") is not None:
+            inner = join_inline(parse_inline(m.group("strong")))
+            parts.append(("fmt", f"**{inner}**"))
+        else:
+            inner = join_inline(parse_inline(m.group("em")))
+            parts.append(("fmt", f"*{inner}*"))
+        pos = m.end()
+    tail = text[pos:].strip()
+    if tail:
+        parts.append(("text", tail))
+    return parts
+
+
+def join_inline(parts: list[tuple[str, str]]) -> str:
+    return " ".join(p[1] for p in parts)
+
+
+def plain_inline(text: str) -> str:
+    """Marker-free plain text of inline content (table cells: the reference
+    stores cell text without formatting, per the inline_and_formatting
+    groundtruth table)."""
+    if not any(c in text for c in _INLINE_MARKERS):
+        return text
+
+    def plain(parts: list[tuple[str, str]]) -> str:
+        out = []
+        for kind, s in parts:
+            if kind == "text":
+                out.append(s)
+            elif kind == "code":
+                out.append(s.strip("`"))
+            elif kind == "link":
+                out.append(plain(parse_inline(s[1 : s.index("](")])))
+            else:  # fmt
+                out.append(plain(parse_inline(s.strip("*"))))
+        return " ".join(x for x in out if x)
+
+    return plain(parse_inline(text))
+
+
+def _inline_item(label: str, text: str, **kw) -> Item:
+    parts = parse_inline(text)
+    item = Item(label, join_inline(parts), BODY, **kw)
+    item.inline_parts = parts
+    return item
+
+
 def extract_md_items(text: str) -> list[Item]:
     lines = text.split("\n")
     items: list[Item] = []
@@ -115,7 +197,7 @@ def extract_md_items(text: str) -> list[Item]:
     def flush_para():
         nonlocal para
         if para:
-            items.append(Item(LABEL_TEXT, " ".join(para).strip(), BODY))
+            items.append(_inline_item(LABEL_TEXT, " ".join(para).strip()))
             para = []
 
     def emit_list_item(level: int, marker: str, body: str):
@@ -130,10 +212,9 @@ def extract_md_items(text: str) -> list[Item]:
                 return
         depth, pos = ls.enter(level, ordered, bullet)
         items.append(
-            Item(
+            _inline_item(
                 LABEL_LIST_ITEM,
                 body.strip(),
-                BODY,
                 enumerated=ordered,
                 marker="",
                 list_position=pos,
@@ -169,7 +250,7 @@ def extract_md_items(text: str) -> list[Item]:
                 level = len(m.group(1))
                 label = LABEL_TITLE if level == 1 else LABEL_SECTION_HEADER
                 items.append(
-                    Item(label, m.group(2).strip(), BODY, level=level - 1)
+                    _inline_item(label, m.group(2).strip(), level=level - 1)
                 )
             i += 1
             continue
@@ -250,7 +331,7 @@ def extract_md_items(text: str) -> list[Item]:
 
 def _table_row(line: str) -> list[str]:
     cells = line.strip().strip("|").split("|")
-    return [c.strip() for c in cells]
+    return [plain_inline(c.strip()) for c in cells]
 
 
 def extract_md(text: str) -> tuple[str, list[tuple[int, int, str, int]]]:

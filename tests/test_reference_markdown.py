@@ -91,12 +91,9 @@ MD_FIXTURES = sorted(
 @pytest.mark.parametrize("name", MD_FIXTURES)
 def test_md_backend_parity(name):
     """Markdown backend parity (B6): md fixture → items → markdown export
-    vs the reference groundtruth. inline_and_formatting is excluded: marko's
-    inline AST serialization inserts a space between an inline element and
-    trailing punctuation ('***both*** .') — an artifact of its node-join
-    logic, not of extraction semantics."""
-    if name == "inline_and_formatting":
-        pytest.skip("marko inline-AST join artifact (space before punctuation)")
+    vs the reference groundtruth — 8/8 byte-exact, including
+    inline_and_formatting (marko's inline-AST node-join spacing and selective
+    escaping are reproduced by parse_inline/join_inline/_md_text)."""
     from doc_parser_spark.functions.export_md import export_markdown
     from doc_parser_spark.functions.md_extract import extract_md_items
 
