@@ -64,7 +64,16 @@ def _make_session(cores: int):
     )
 
 
-def _bench_extraction_inprocess(transcripts_path: str, cores: int) -> dict:
+def _bench_extraction_inprocess(
+    transcripts_path: str, cores: int, runs: int = 3
+) -> dict:
+    """One scaling level: warm-up, then MEDIAN of ``runs`` measured runs.
+
+    route_partitions = cores — measured best at every level (a 4×cores probe
+    was 10-30% slower at both 2 and 8 cores, inflating the efficiency ratio).
+    """
+    import statistics
+
     from doc_parser_spark.operators.extract import extract_turns
 
     spark = _make_session(cores)
@@ -72,20 +81,21 @@ def _bench_extraction_inprocess(transcripts_path: str, cores: int) -> dict:
     n = df.count()
     # warm-up (JIT, Arrow runner init) on a small slice
     extract_turns(df.limit(256), route_partitions=cores).count()
-    # best of two measured runs: single runs are noisy at small wall times
-    wall = float("inf")
+    walls = []
     rows = 0
-    for _ in range(2):
+    for _ in range(runs):
         t0 = time.perf_counter()
         out = extract_turns(df, route_partitions=cores)
         rows = out.count()
-        wall = min(wall, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
     spark.stop()
+    wall = statistics.median(walls)
     return {"cores": cores, "turns": n, "rows": rows, "wall_s": wall,
+            "walls": [round(w, 3) for w in sorted(walls)],
             "tps": rows / wall}
 
 
-def _bench_extraction(transcripts_path: str, cores: int) -> dict:
+def _bench_extraction(transcripts_path: str, cores: int, runs: int = 3) -> dict:
     """Run one scaling level in a fresh subprocess: a stopped SparkSession's
     JVM lingers for the life of the driver process (py4j gateway), polluting
     the next level's CPU measurement."""
@@ -93,10 +103,38 @@ def _bench_extraction(transcripts_path: str, cores: int) -> dict:
 
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--extract-level",
-         str(cores), transcripts_path],
+         str(cores), transcripts_path, str(runs)],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _bench_scaling_pair(transcripts_path: str, low: int, high: int) -> dict:
+    """The N→4N criterion measurement, drift-robust: THREE INTERLEAVED
+    trials per level (low, high, low, high, ...), each a fresh subprocess
+    with warm-up + one measured run; the per-level number is the median of
+    its trials. Interleaving decorrelates slow machine-state drift (turbo /
+    thermal / background load) from the level, which is what swung round-1's
+    committed best-of-2 efficiency between 0.955 and 0.780 on an identical
+    build. Machine noise here is ±30% (CLAUDE.md); the median of three
+    alternating samples keeps the RATIO stable even when absolute throughput
+    drifts."""
+    import statistics
+
+    samples: dict[int, list[dict]] = {low: [], high: []}
+    for _ in range(3):
+        for c in (low, high):
+            samples[c].append(_bench_extraction(transcripts_path, c, runs=1))
+    out = {}
+    for c, runs in samples.items():
+        tpss = sorted(r["tps"] for r in runs)
+        out[c] = {
+            "tps": statistics.median(tpss),
+            "wall_s": statistics.median(sorted(r["wall_s"] for r in runs)),
+            "trial_tps": [round(t, 1) for t in tpss],
+            "turns": runs[0]["turns"],
+        }
+    return out
 
 
 def _per_type_breakdown(transcripts_path: str, sample: int = 1500) -> dict:
@@ -160,10 +198,11 @@ def main() -> None:
         transcripts_path, n_convs=n_convs, turns_mean=10, seed=42
     )
 
-    levels = sorted({SCALE_N, SCALE_N * 4, CPUS})
-    runs = {c: _bench_extraction(transcripts_path, c) for c in levels}
+    runs = _bench_scaling_pair(transcripts_path, SCALE_N, SCALE_N * 4)
     low, high = runs[SCALE_N], runs[SCALE_N * 4]
     efficiency = (high["tps"] / low["tps"]) / 4.0
+    if CPUS not in runs:
+        runs[CPUS] = _bench_extraction(transcripts_path, CPUS, runs=3)
     full = runs[CPUS]
 
     eff_full = None
@@ -173,6 +212,8 @@ def main() -> None:
         )
 
     dvfs = _dvfs_probe(SCALE_N, CPUS)
+    # the ceiling that actually bounds the N→4N criterion measurement
+    dvfs_n4n = _dvfs_probe(SCALE_N, SCALE_N * 4)
     per_type = _per_type_breakdown(transcripts_path)
 
     # --- headline driver queries at SF_DIR ---
@@ -193,13 +234,22 @@ def main() -> None:
 
     scaling = {
         "levels": {
-            str(c): {"tps": round(r["tps"], 1), "wall_s": round(r["wall_s"], 2)}
+            str(c): {
+                "tps": round(r["tps"], 1),
+                "wall_s": round(r["wall_s"], 2),
+                **(
+                    {"trial_tps": r["trial_tps"]}
+                    if "trial_tps" in r
+                    else {"run_walls": r.get("walls")}
+                ),
+            }
             for c, r in runs.items()
         },
         "efficiency_n_to_4n": round(efficiency, 4),
         "n": SCALE_N,
         "efficiency_4n_to_full": round(eff_full, 4) if eff_full else None,
         "dvfs_ceiling_probe": dvfs,
+        "dvfs_ceiling_n_to_4n": dvfs_n4n,
         "per_type_kernel_tps_1core": per_type,
         "turns": full["turns"],
     }
@@ -216,7 +266,10 @@ def main() -> None:
                 for c, r in runs.items()
             )
             + f"\nscaling efficiency local[{SCALE_N}] → local[{SCALE_N*4}] "
-            f"(the N→4N criterion): **{efficiency:.3f}** (target ≥ 0.8)\n\n"
+            f"(the N→4N criterion): **{efficiency:.3f}** (target ≥ 0.8; "
+            "median of 3 measured runs per level, fresh subprocess per "
+            f"level; same-die turbo ceiling for this pair measured at "
+            f"{dvfs_n4n['ceiling']:.3f})\n\n"
             + (
                 f"scaling efficiency local[{SCALE_N*4}] → local[{CPUS}]: "
                 f"{eff_full:.3f}\n\n"
