@@ -267,9 +267,10 @@ def main() -> None:
             )
             + f"\nscaling efficiency local[{SCALE_N}] → local[{SCALE_N*4}] "
             f"(the N→4N criterion): **{efficiency:.3f}** (target ≥ 0.8; "
-            "median of 3 measured runs per level, fresh subprocess per "
-            f"level; same-die turbo ceiling for this pair measured at "
-            f"{dvfs_n4n['ceiling']:.3f})\n\n"
+            "three INTERLEAVED trials per level — low,high,low,high,... — "
+            "each a fresh subprocess with warm-up + one measured run, "
+            "per-level number = median of its trials; same-die turbo "
+            f"ceiling for this pair measured at {dvfs_n4n['ceiling']:.3f})\n\n"
             + (
                 f"scaling efficiency local[{SCALE_N*4}] → local[{CPUS}]: "
                 f"{eff_full:.3f}\n\n"
