@@ -165,11 +165,33 @@ def greedy_chunks(
     chunks: list[Chunk] = []
     buf: list[ChunkItem] = []
 
+    # incremental token accounting: token count of the rendered buffer is
+    # int(total_words * 1.3) and rendered words are additive per appended
+    # part (items join with DELIM; _render emits a header block on section
+    # change) — so the packing test is O(item), not O(buffer) re-render.
+    # _mk_chunk still renders once per EMITTED chunk (O(n) overall).
+    buf_words = 0
+    buf_headers: dict = {}
+
+    def _added_words(item: ChunkItem, current: dict) -> int:
+        w = 0
+        if item.headers != current:
+            to_add = [item.headers[k] for k in sorted(item.headers)]
+            changed = any(
+                k not in current or current[k] != v
+                for k, v in item.headers.items()
+            )
+            if to_add and changed:
+                w += sum(len(h.split()) for h in to_add)
+        if item.label != LABEL_SECTION_HEADER and item.text:
+            w += len(item.text.split())
+        return w
+
     for item in items:
         if item.label == LABEL_TABLE:
             if buf:
                 chunks.append(_mk_chunk(buf))
-                buf = []
+                buf, buf_words, buf_headers = [], 0, {}
             tchunk = _mk_chunk([item])
             if tchunk.n_tokens > max_tokens:
                 for piece in split_table_text(item.text):
@@ -181,17 +203,21 @@ def greedy_chunks(
             else:
                 chunks.append(tchunk)
             continue
-        test = buf + [item]
-        test_text, _ = _render(test)
-        if count_tokens(test_text) <= max_tokens:
-            buf = test
+        delta = _added_words(item, buf_headers)
+        if int((buf_words + delta) * 1.3) <= max_tokens:
+            buf.append(item)
+            buf_words += delta
+            if item.headers != buf_headers:
+                buf_headers = dict(item.headers)
         else:
             if buf:
                 chunks.append(_mk_chunk(buf))
                 buf = [item]
+                buf_words = _added_words(item, {})
+                buf_headers = dict(item.headers)
             else:
                 chunks.append(_mk_chunk([item]))
-                buf = []
+                buf, buf_words, buf_headers = [], 0, {}
     if buf:
         chunks.append(_mk_chunk(buf))
 

@@ -2057,3 +2057,94 @@ LIMIT 10
 """
 
 ORACLES["sim_ann_lsh"] = ORACLE_SIM_ANN_LSH
+
+
+# ===========================================================================
+# batch 16 — end-to-end curation composition: the canonical training-data
+# pipeline (quality gate -> PII/URL scrub -> exact dedup -> keep decision)
+# expressed as ONE declarative plan so Catalyst fuses the row-local stages
+# into a single projection before the one dedup exchange.
+# ===========================================================================
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose: C4/Gopher-style quality gate (stopword ratio + mean word
+    length + length bounds), URL/email scrub, exact near-identity dedup on
+    the SCRUBBED text (scrub-then-dedup is the correct order: two docs
+    differing only in emails/URLs are duplicates). Output: one row per doc
+    with its gate verdicts and final keep decision."""
+    from doc_parser_spark.operators.dedup import exact_dedup
+
+    payload = (
+        "CASE WHEN doc_id % 7 = 3 THEN 'tiny' "
+        "WHEN doc_id % 7 = 5 THEN text || ' visit https://x.example/' "
+        "|| (doc_id % 4) ELSE text END"
+    )
+    url_re = r"https?://[^\s]+"
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(payload).alias("payload"),
+    )
+    scrubbed = docs.withColumn(
+        "scrubbed",
+        F.regexp_replace(
+            F.regexp_replace(F.col("payload"), email_re, "<EMAIL>"),
+            url_re,
+            "<URL>",
+        ),
+    )
+    gated = scrubbed.withColumn(
+        "stopword_ratio",
+        F.expr(
+            f"size(filter(split(lower(scrubbed), ' '), w -> w IN ({_STOPWORDS})))"
+            " / size(split(scrubbed, ' '))"
+        ),
+    ).withColumn(
+        "quality_pass",
+        (F.length("scrubbed") >= 50)
+        & (F.col("stopword_ratio") > 0.01),
+    )
+    deduped = exact_dedup(gated, "doc_id", "scrubbed")
+    return deduped.select(
+        "doc_id",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        "quality_pass",
+        "doc_hash",
+        (F.col("quality_pass") & F.col("keep")).alias("keep_final"),
+    )
+
+
+ORACLE_CURATE = r"""
+WITH payloads AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN 'tiny'
+              WHEN doc_id % 7 = 5 THEN text || ' visit https://x.example/'
+                   || (doc_id % 4)
+              ELSE text END AS payload
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(payload,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+  FROM payloads
+), gated AS (
+  SELECT doc_id, scrubbed,
+         len(list_filter(string_split(lower(scrubbed), ' '),
+             w -> w IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+           / len(string_split(scrubbed, ' ')) AS stopword_ratio
+  FROM scrubbed
+), hashed AS (
+  SELECT doc_id, stopword_ratio,
+         (length(scrubbed) >= 50 AND stopword_ratio > 0.01) AS quality_pass,
+         md5(scrubbed) AS doc_hash,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(scrubbed)) AS keep
+  FROM gated
+)
+SELECT doc_id, round(stopword_ratio, 4) AS stopword_ratio, quality_pass,
+       doc_hash, (quality_pass AND keep) AS keep_final
+FROM hashed
+"""
+
+QUERIES["curate_pipeline"] = q_curate_pipeline
+ORACLES["curate_pipeline"] = ORACLE_CURATE

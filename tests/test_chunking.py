@@ -115,6 +115,67 @@ class TestKernel:
         chunks = greedy_chunks(items, max_tokens=2000)
         assert len(chunks) == 1 and chunks[0].text == "| a | b |"
 
+    def test_incremental_packing_equals_rerender(self):
+        """The O(item) incremental word accounting must reproduce the
+        re-render-the-buffer packing decision exactly, on streams mixing
+        titles, section changes, header drops, empty items, and tables."""
+        import random
+
+        from doc_parser_spark.functions.chunking import (
+            _mk_chunk,
+            _render,
+            with_heading_context,
+        )
+        from doc_parser_spark.functions.chunking import (
+            _merge_small,
+            LABEL_TABLE,
+        )
+
+        def reference_greedy(items, max_tokens):
+            if not items:
+                return []
+            chunks, buf = [], []
+            for item in items:
+                if item.label == LABEL_TABLE:
+                    if buf:
+                        chunks.append(_mk_chunk(buf))
+                        buf = []
+                    chunks.append(_mk_chunk([item]))
+                    continue
+                test = buf + [item]
+                text, _ = _render(test)
+                if count_tokens(text) <= max_tokens:
+                    buf = test
+                else:
+                    if buf:
+                        chunks.append(_mk_chunk(buf))
+                        buf = [item]
+                    else:
+                        chunks.append(_mk_chunk([item]))
+                        buf = []
+            if buf:
+                chunks.append(_mk_chunk(buf))
+            return _merge_small(chunks, max_tokens)
+
+        rng = random.Random(7)
+        labels = ["title", "section_header", "text", "text", "text", "table"]
+        for trial in range(30):
+            stream = []
+            for _ in range(rng.randint(1, 60)):
+                label = rng.choice(labels)
+                nwords = rng.choice([0, 1, 3, 8, 40])
+                stream.append(
+                    (label, " ".join(f"w{rng.randint(0, 5)}" for _ in range(nwords)))
+                )
+            items = with_heading_context(stream)
+            for budget in (10, 40, 2000):
+                got = greedy_chunks(items, budget)
+                want = reference_greedy(items, budget)
+                assert [c.text for c in got] == [c.text for c in want], (
+                    trial, budget,
+                )
+                assert [c.headings for c in got] == [c.headings for c in want]
+
     def test_item_indices_tracked_through_merge(self):
         items = with_heading_context(
             [("title", "T"), ("text", "a b c"), ("text", "d e f")]
