@@ -190,14 +190,22 @@ def lsh_candidate_pairs(
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """SimHash fingerprint over word hashes (md5-derived 32-bit ints).
+    """SimHash fingerprint over md5-derived word hashes.
 
     bit_i(doc) = sign of sum over words of (word_hash>>i & 1)*2-1;
     fingerprint = Σ bit_i · 2^i. Entirely row-local expressions.
+
+    bits ≤ 32 uses a 32-bit word hash (8 hex chars); wider fingerprints
+    (collision resistance at corpus scale — use ≥ 48 for real dedup) switch
+    to a 60-bit hash (15 hex chars, the widest that stays in signed BIGINT
+    on both Spark and DuckDB). Max bits = 60.
     """
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits (signed BIGINT)")
+    hex_chars = 8 if bits <= 32 else 15
     hashes = (
         f"transform(split({text_col}, ' '), "
-        "w -> cast(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))"
+        f"w -> cast(conv(substr(md5(w), 1, {hex_chars}), 16, 10) AS BIGINT))"
     )
     bit_terms = " + ".join(
         f"(CASE WHEN aggregate({hashes}, 0L, "
@@ -213,9 +221,10 @@ def simhash(
 
 def simhash_oracle_sql(payload_sql: str, bits: int = 16) -> str:
     """DuckDB mirror of ``simhash`` over a payload expression."""
+    hex_chars = 8 if bits <= 32 else 15
     hashes = (
         f"list_transform(string_split({payload_sql}, ' '), "
-        "w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+        f"w -> ('0x' || substr(md5(w), 1, {hex_chars}))::BIGINT)"
     )
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform({hashes}, "

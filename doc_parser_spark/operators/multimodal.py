@@ -65,12 +65,43 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def decode_images(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+def _pil_decode_image(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
+    """The real decoder, used automatically when PIL is importable (it is
+    not in this container — the seam is exercised in tests by injecting a
+    custom decoder through the same parameter)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    luma = float(
+        np.asarray(img.convert("L"), dtype=np.float64).mean() / 255.0
+    )
+    return w, h, luma
+
+
+DEFAULT_IMAGE_DECODER = _pil_decode_image if HAVE_PIL else _fake_decode_image
+
+
+def decode_images(
+    media: DataFrame, batch_rows: int = 64, decoder=None
+) -> DataFrame:
     """Image decode / feature extraction over binary payloads.
 
     Arrow batch shape: the UDF sub-batches to ``batch_rows`` so one oversized
     payload batch can't blow executor memory (R1 batching analog).
+
+    ``decoder``: payload bytes → (width, height, mean_luma). Defaults to the
+    PIL decoder when PIL is importable, else the deterministic stub; the
+    function object is captured by the UDF closure, so a custom decoder runs
+    on the executors through the identical distributed path (this is the
+    swap-in seam — no code change needed on a cluster with codec libs).
+    A decoder exception yields a ``failure`` row, never a stub fallback.
     """
+    dec = decoder or DEFAULT_IMAGE_DECODER
+    status_ok = "stub_decoded" if dec is _fake_decode_image else "decoded"
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,14 +116,10 @@ def decode_images(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                     payload = bytes(payload)
                     sha = hashlib.sha256(payload).hexdigest()
                     try:
-                        if HAVE_PIL:  # pragma: no cover
-                            raise NotImplementedError(
-                                "real decode path not wired in this container"
-                            )
-                        w, h, luma = _fake_decode_image(payload)
+                        w, h, luma = dec(payload)
                         rows.append(
                             (int(media_id), sha, len(payload), w, h, luma,
-                             "stub_decoded")
+                             status_ok)
                         )
                     except Exception:
                         rows.append(

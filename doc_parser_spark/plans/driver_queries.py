@@ -2148,3 +2148,80 @@ FROM hashed
 
 QUERIES["curate_pipeline"] = q_curate_pipeline
 ORACLES["curate_pipeline"] = ORACLE_CURATE
+
+
+# ===========================================================================
+# batch 17 — fragment-routing semantics (the round-1 advisory's content-loss
+# scenarios, now oracled end-to-end) + wide SimHash for corpus-scale dedup
+# ===========================================================================
+PAYLOAD_FRAGMENT = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '<p>' || text || '</p> trailing doc ' || doc_id "
+    "WHEN 1 THEN 'use <b>emphasis</b> sparingly: ' || text "
+    "WHEN 2 THEN 'mid <b>bold</b> tail from <p>doc ' || doc_id || '</p>' "
+    "ELSE '<img src=\"x.png\">' END"
+)
+
+
+def q_s1_fragment_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment semantics, end to end: block-led fragments keep their
+    floating text (html/success); inline-tag prose never routes to the HTML
+    walker (plain, content intact); a fragment whose walk yields nothing
+    demotes to partial_success with the plain payload."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_FRAGMENT).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "parse_status",
+        "extracted_text",
+    )
+
+
+ORACLE_FRAGMENT = """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 3 THEN 'html'
+         ELSE 'plain' END AS content_type,
+       CASE doc_id % 4 WHEN 3 THEN 'partial_success'
+         ELSE 'success' END AS parse_status,
+       CASE doc_id % 4
+         WHEN 0 THEN trim(text) || chr(10) || chr(10)
+                     || 'trailing doc ' || doc_id
+         WHEN 1 THEN 'use <b>emphasis</b> sparingly: ' || text
+         WHEN 2 THEN 'mid <b>bold</b> tail from <p>doc ' || doc_id || '</p>'
+         ELSE '<img src="x.png">' END AS extracted_text
+FROM documents
+"""
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash over a 60-bit word hash — the corpus-scale
+    configuration (16 bits is collision-heavy beyond toy corpora)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return simhash(docs, "doc_id", "text", bits=48)
+
+
+ORACLE_SIMHASH_WIDE = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ({simhash_oracle_sql('text', 48)})::BIGINT AS simhash
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "s1_fragment_routing": q_s1_fragment_routing,
+        "dedup_simhash_wide": q_dedup_simhash_wide,
+    }
+)
+ORACLES.update(
+    {
+        "s1_fragment_routing": ORACLE_FRAGMENT,
+        "dedup_simhash_wide": ORACLE_SIMHASH_WIDE,
+    }
+)

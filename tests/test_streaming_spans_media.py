@@ -93,6 +93,33 @@ class TestMultimodal:
             feats2.sort_values("media_id").reset_index(drop=True),
         )
 
+    def test_real_decoder_seam(self, spark):
+        """The PIL swap-in seam: a custom decoder function ships through the
+        UDF closure and runs on the executors via the identical distributed
+        path — features come from IT (status 'decoded'), and a decoder
+        exception yields a 'failure' row, never a silent stub fallback."""
+        from doc_parser_spark.operators.multimodal import (
+            decode_images,
+            synth_media,
+        )
+
+        def fake_pil(payload: bytes):
+            if payload[0] % 2 == 0:
+                raise ValueError("corrupt image")
+            return 320, 200, 0.25
+
+        media = synth_media(spark, n=60)
+        feats = decode_images(media, batch_rows=8, decoder=fake_pil).toPandas()
+        assert set(feats["decode_status"]) <= {"decoded", "failure"}
+        ok = feats[feats["decode_status"] == "decoded"]
+        bad = feats[feats["decode_status"] == "failure"]
+        assert len(ok) > 0 and len(bad) > 0
+        assert (ok["width"] == 320).all() and (ok["height"] == 200).all()
+        assert bad["width"].isna().all()
+        # failures still carry lineage (hash + size) for quarantine tables
+        assert bad["sha256"].str.len().eq(64).all()
+        assert (bad["n_bytes"] > 0).all()
+
     def test_frame_sampling(self, spark):
         from doc_parser_spark.operators.multimodal import sample_frames, synth_media
 
