@@ -17,6 +17,11 @@ SLASH_NUMBER_GARBAGE_RE = re.compile(r"(?:/\w+\s*){2,}")
 
 
 def rate_text_quality(text: str) -> float:
+    # exact fast path: every trigger pattern requires '/', '�' or 'GLYPH<'
+    # somewhere in the text — three C-speed substring probes clear the
+    # common clean-text case without running any regex
+    if "/" not in text and "�" not in text and "GLYPH<" not in text:
+        return 1.0
     if (
         "�" in text
         or GLYPH_RE.search(text)

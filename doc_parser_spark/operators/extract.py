@@ -130,13 +130,42 @@ def _extract_one(content_type: str, text: str, boilerplate_mode: str):
             return None, None, STATUS_FAILURE
 
 
+def _q10(scores: list) -> float:
+    """np.quantile(scores, 0.10) with method='linear', bit-exact (numpy's
+    _lerp switches formula at t >= 0.5), without the per-row numpy-call
+    overhead — _score runs once per document row."""
+    s = sorted(scores)
+    n = len(s)
+    if n == 1:
+        return float(s[0])
+    vi = 0.10 * (n - 1)
+    lo = int(vi)
+    t = vi - lo
+    if t == 0.0:
+        return float(s[lo])
+    a, b = s[lo], s[lo + 1]
+    d = b - a
+    return float(b - d * (1.0 - t)) if t >= 0.5 else float(a + d * t)
+
+
 def _score(extracted: str | None, spans) -> float | None:
     """Doc parse score = 10th percentile of per-span quality scores
-    (page_preprocessing_model.py:78-85 aggregation)."""
+    (page_preprocessing_model.py:78-85 aggregation).
+
+    Fast path: every quality trigger requires '/', '�' or 'GLYPH<' — if the
+    WHOLE text has none, every span scores 1.0 and so does the quantile.
+    Profiling showed scoring at 44% of per-row extraction cost before this.
+    """
     if not extracted or not spans:
         return None
+    if (
+        "/" not in extracted
+        and "�" not in extracted
+        and "GLYPH<" not in extracted
+    ):
+        return 1.0
     scores = [rate_text_quality(extracted[s[0] : s[1]]) for s in spans]
-    return float(np.quantile(scores, 0.10))
+    return _q10(scores)
 
 
 def make_extract_udf(boilerplate_mode: str = "reference"):
