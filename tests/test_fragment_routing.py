@@ -108,3 +108,43 @@ class TestStatusFallback:
         )
         assert status == STATUS_SUCCESS
         assert extracted == ""
+
+
+class TestFragmentNoLossFuzz:
+    def test_fragment_words_survive(self):
+        """Property: for a routed HEADER-FREE block fragment made of prose
+        runs, inline tags, and <p>/<ul> blocks, every prose word appears in
+        the extracted text — the advisory's silent content loss cannot
+        recur. (Headers invoke the reference furniture rule, which
+        legitimately drops pre-heading content — covered separately.)"""
+        import random
+
+        rng = random.Random(11)
+        for trial in range(300):
+            words = [f"w{trial}x{i}" for i in range(rng.randint(1, 12))]
+            pieces = [f"<p>{words[0]}</p>"]  # ensure block-led fragment
+            for w in words[1:]:
+                kind = rng.randint(0, 3)
+                if kind == 0:
+                    pieces.append(f" {w} ")
+                elif kind == 1:
+                    tag = rng.choice(["b", "em", "span", "a"])
+                    pieces.append(f"<{tag}>{w}</{tag}>")
+                elif kind == 2:
+                    pieces.append(f"<p>{w}</p>")
+                else:
+                    pieces.append(f"<ul><li>{w}</li></ul>")
+            payload = "".join(pieces)
+            ct = sniff_text(payload)
+            assert ct in (CT_HTML, CT_PLAIN)
+            extracted, _, status = _extract_one(ct, payload, "reference")
+            assert status == STATUS_SUCCESS
+            for w in words:
+                assert w in extracted, (trial, w, payload, extracted)
+
+    def test_fragment_furniture_rule_still_applies(self):
+        # reference rule: a fragment WITH a header keeps the layer semantics —
+        # content before the first heading is furniture
+        text, _ = extract_html("<p>lead</p><h2>Head</h2><p>body</p>")
+        assert "lead" not in text
+        assert "Head" in text and "body" in text
