@@ -163,17 +163,23 @@ def ivf_topk(
     query_df: DataFrame,
     centroids: DataFrame,
     k: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN via IVF: search only the query's nearest centroid's cluster."""
+    """ANN via IVF: search the query's ``nprobe`` nearest centroids'
+    clusters (nprobe > 1 is the standard recall lever — cost grows linearly
+    with probed clusters, still a tiny fraction of the corpus). The probed-
+    cluster selection runs on the single query row; the big table is only
+    ever filtered by the broadcast cluster ids."""
     assigned = ivf_assignments(df, id_col, vec_col, centroids)
+    qscored = query_df.crossJoin(F.broadcast(centroids)).select(
+        "qvec",
+        F.col("centroid_id").cast("long").alias("qcentroid"),
+        F.round(F.expr(COS_EXPR.format(a="qvec", b="cvec")), 4).alias("qsim"),
+    )
     qc = (
-        ivf_assignments(
-            query_df.select(F.lit(-1).alias("qid"), F.col("qvec")),
-            "qid",
-            "qvec",
-            centroids,
-        )
-        .select(F.col("centroid_id").alias("qcentroid"), "qvec")
+        qscored.orderBy(F.col("qsim").desc(), F.col("qcentroid"))
+        .limit(nprobe)
+        .select("qcentroid", "qvec")
     )
     cand = assigned.join(
         F.broadcast(qc), F.col("centroid_id") == F.col("qcentroid")

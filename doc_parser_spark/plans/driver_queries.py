@@ -2225,3 +2225,113 @@ ORACLES.update(
         "dedup_simhash_wide": ORACLE_SIMHASH_WIDE,
     }
 )
+
+
+# ===========================================================================
+# batch 18 — winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+# hash every k-gram, slide a w-window, keep each window's minimum — the
+# standard local fingerprinting scheme (MOSS). Hash = md5 head of the k-gram
+# (the winnowing guarantee is hash-agnostic); all row-local JVM expressions,
+# zero shuffle before the explode.
+# ===========================================================================
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = _WINNOW_K, _WINNOW_W
+    words = "split(text, ' ')"
+    hashes = (
+        f"transform(sequence(1, size({words}) - {k} + 1), "
+        f"i -> substr(md5(concat_ws(' ', slice({words}, i, {k}))), 1, 8))"
+    )
+    fps = (
+        f"CASE WHEN size({words}) >= {k} + {w} - 1 THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size({words}) - {k} - {w} + 2), "
+        f"j -> array_min(slice({hashes}, j, {w}))))) "
+        f"ELSE array() END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.expr(fps)).alias("fp"),
+        )
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, words,
+         list_transform(range(1, len(words) - {_WINNOW_K} + 2),
+           i -> substr(md5(array_to_string(words[i : i + {_WINNOW_K} - 1], ' ')), 1, 8))
+           AS hashes
+  FROM t
+  WHERE len(words) >= {_WINNOW_K} + {_WINNOW_W} - 1
+), fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, len(hashes) - {_WINNOW_W} + 2),
+           j -> list_min(hashes[j : j + {_WINNOW_W} - 1])))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM fp
+"""
+
+QUERIES["text_winnow_fingerprint"] = q_text_winnow_fingerprint
+ORACLES["text_winnow_fingerprint"] = ORACLE_WINNOW
+
+
+# ===========================================================================
+# batch 19 — IVF multi-probe (nprobe=2): the standard ANN recall lever
+# ===========================================================================
+def q_sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf_dir),
+        _centroids(spark, sf_dir), k=10, nprobe=2,
+    )
+
+
+ORACLE_SIM_IVF_P2 = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 4) DESC,
+               c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rk = 1
+),
+qc AS (
+  SELECT centroid_id AS qcentroid FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[],
+               c.cvec::DOUBLE[]), 4) DESC, c.centroid_id) AS rk
+    FROM centroids c
+  ) WHERE rk <= 2
+)
+SELECT a.vec_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+             4) AS score
+FROM assigned a JOIN qc ON a.centroid_id = qc.qcentroid
+ORDER BY score DESC, a.vec_id
+LIMIT 10
+"""
+
+QUERIES["sim_ivf_topk_probe2"] = q_sim_ivf_topk_probe2
+ORACLES["sim_ivf_topk_probe2"] = ORACLE_SIM_IVF_P2
