@@ -86,6 +86,44 @@ def lsh_bucket_oracle_sql(vec_sql: str, planes: int = 8) -> str:
     return " || ".join(bits)
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    planes: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: candidates share a
+    random-hyperplane LSH bucket (self-join on the bucket key — shuffles
+    only (bucket, id, vec)), verified with exact cosine. The all-pairs
+    cross join is the correctness baseline; THIS is the shape that survives
+    10^9 vectors (bucket sizes are corpus/2^planes on average; raise
+    ``planes`` to keep them bounded).
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(lsh_bucket_expr(vec_col, planes)).alias("bucket"),
+    )
+    return (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a.bucket") == F.col("bb.bucket"))
+            & (F.col("a.id") < F.col("bb.id")),
+        )
+        .withColumn(
+            "cos", F.round(F.expr(COS_EXPR.format(a="a.v", b="bb.v")), 4)
+        )
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("bb.id").alias("b_id"),
+            "cos",
+        )
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -2335,3 +2335,31 @@ LIMIT 10
 
 QUERIES["sim_ivf_topk_probe2"] = q_sim_ivf_topk_probe2
 ORACLES["sim_ivf_topk_probe2"] = ORACLE_SIM_IVF_P2
+
+
+# ===========================================================================
+# batch 20 — scale-safe embedding near-dup: LSH-bucketed candidate pairs +
+# exact-cosine verify (dedup_embedding_cosine above is the quadratic
+# correctness baseline; this is the shape that survives 10^9 vectors)
+# ===========================================================================
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=6)
+
+
+ORACLE_DEDUP_EMB_LSH = f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS v,
+         {lsh_bucket_oracle_sql('embedding', 6)} AS bucket
+  FROM embeddings
+)
+SELECT a.id AS a_id, bb.id AS b_id,
+       round(list_cosine_similarity(a.v::DOUBLE[], bb.v::DOUBLE[]), 4) AS cos
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+WHERE round(list_cosine_similarity(a.v::DOUBLE[], bb.v::DOUBLE[]), 4) >= 0.3
+"""
+
+QUERIES["dedup_embedding_lsh"] = q_dedup_embedding_lsh
+ORACLES["dedup_embedding_lsh"] = ORACLE_DEDUP_EMB_LSH
