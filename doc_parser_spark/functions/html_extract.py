@@ -160,6 +160,11 @@ class _Walker:
         # root (markdown HTML blocks: stray raw text there is a block-split
         # artifact, not content)
         self.fragment_text = fragment_text
+        # set by extract_html_items when the payload had no <body>: the
+        # whole document is a routed fragment, so EVERY container keeps its
+        # floating/inline text (lossless mode) — full documents stay
+        # reference-exact, including the div buffered-text drop
+        self.fragment_mode = False
 
     def _links(self, el: Element) -> int:
         return _link_chars(el) if self.track_links else 0
@@ -174,12 +179,18 @@ class _Walker:
 
     # -- walk (html_backend.py:144-182) ---------------------------------------
     def walk(self, tag: Element) -> None:
-        # the fragment root ([document]) only exists when the payload had no
-        # <body>; there it behaves like the reference's <div> (floating text
-        # becomes TEXT items) and additionally absorbs inline-tag text into
-        # the run — fragments have no reference groundtruth to stay
-        # bug-compatible with, and dropping their prose would be data loss
-        is_root = tag.name == "[document]" and self.fragment_text
+        # FRAGMENT mode (payload had no <body>): every container keeps its
+        # floating text as TEXT items and absorbs inline-tag text into the
+        # run — fragments have no reference groundtruth to stay
+        # bug-compatible with, and dropping their prose would be data loss.
+        # List internals are excluded: handle_list_item already captured the
+        # li's descendant text, so collecting here would duplicate it.
+        # FULL-DOCUMENT mode is reference-exact: only a <div> parent ever
+        # emits floating text (html_backend.py:168), with the reference's
+        # own sibling-scan flush (buffered text with no following TextNode
+        # drops, bug-compatibly).
+        frag = self.fragment_mode and tag.name not in ("ul", "ol", "li")
+        legacy_div = tag.name == "div" and not frag
         text = ""
 
         def flush() -> str:
@@ -194,21 +205,18 @@ class _Walker:
         children = tag.children
         for idx, element in enumerate(children):
             if isinstance(element, Element):
-                if is_root and element.name in _INLINE_TAGS:
+                if frag and element.name in _INLINE_TAGS:
                     text += element.text
                     continue
-                if is_root:
+                if frag:
                     text = flush()
                 self.analyze_tag(element)
             elif isinstance(element, TextNode) and not element.preformatted:
-                # floating text outside paragraphs or analyzed tags; only a
-                # <div> parent (html_backend.py:168) or the fragment root
-                # ever emits it, so the sibling scan is skipped everywhere else
-                if tag.name != "div" and not is_root:
+                if not (frag or legacy_div):
                     continue
                 text += str(element)
-                if is_root:
-                    continue  # root flushes at block boundaries / at EOF
+                if frag:
+                    continue  # fragment flushes at block boundaries / at end
                 rest = children[idx + 1 :]
                 siblings = [it for it in rest if isinstance(it, Element)]
                 has_next = idx + 1 < len(children)
@@ -216,7 +224,7 @@ class _Walker:
                     s.name in TAGS_FOR_NODE_ITEMS for s in siblings
                 ):
                     text = flush()
-        if is_root:
+        if frag:
             flush()
 
     # -- analyze_tag (html_backend.py:184-204) --------------------------------
@@ -537,6 +545,7 @@ def extract_html_items(
         track_links=(boilerplate_mode == "density"),
         fragment_text=fragment_text,
     )
+    walker.fragment_mode = fragment_text and content.name == "[document]"
     has_header = content.find(_HEADERS) is not None
     walker.content_layer = FURNITURE if has_header else BODY
     walker.walk(content)

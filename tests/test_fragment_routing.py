@@ -124,7 +124,7 @@ class TestFragmentNoLossFuzz:
             words = [f"w{trial}x{i}" for i in range(rng.randint(1, 12))]
             pieces = [f"<p>{words[0]}</p>"]  # ensure block-led fragment
             for w in words[1:]:
-                kind = rng.randint(0, 3)
+                kind = rng.randint(0, 5)
                 if kind == 0:
                     pieces.append(f" {w} ")
                 elif kind == 1:
@@ -132,8 +132,12 @@ class TestFragmentNoLossFuzz:
                     pieces.append(f"<{tag}>{w}</{tag}>")
                 elif kind == 2:
                     pieces.append(f"<p>{w}</p>")
-                else:
+                elif kind == 3:
                     pieces.append(f"<ul><li>{w}</li></ul>")
+                elif kind == 4:
+                    pieces.append(f"<div>{w} <b>{w}b</b></div>")
+                else:
+                    pieces.append(f"<div>{w}")  # unclosed div swallows rest
             payload = "".join(pieces)
             ct = sniff_text(payload)
             assert ct in (CT_HTML, CT_PLAIN)
@@ -141,6 +145,17 @@ class TestFragmentNoLossFuzz:
             assert status == STATUS_SUCCESS
             for w in words:
                 assert w in extracted, (trial, w, payload, extracted)
+
+    def test_fragment_div_keeps_buffered_text(self):
+        """In fragment mode, text buffered inside a <div> whose last child
+        is an element is kept (lossless mode); in a full document the same
+        div drops it — the reference's own sibling-scan behavior."""
+        frag = "<p>a</p><div>hello <b>world</b></div>"
+        text, _ = extract_html(frag)
+        assert "hello world" in text
+        full = f"<html><body>{frag}</body></html>"
+        text_full, _ = extract_html(full)
+        assert "hello" not in text_full  # reference-exact for full docs
 
     def test_fragment_furniture_rule_still_applies(self):
         # reference rule: a fragment WITH a header keeps the layer semantics —
