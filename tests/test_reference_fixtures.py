@@ -32,7 +32,7 @@ _TABLE_RE = re.compile(
 
 COMPARABLE_LABELS = {
     "title", "section_header", "text", "list_item", "code", "picture",
-    "caption", "paragraph",
+    "caption", "paragraph", "formula",
 }
 
 
