@@ -1,0 +1,91 @@
+"""Markdown export of docling-shaped node trees (docx/xlsx/pptx backends) —
+the same serializer conventions proven byte-exact on the HTML path
+(functions/export_md.py), plus formatting markers:
+
+- title → "# ", heading level N → "#"*(N+1)
+- *italic* / **bold** / ***both***; underline renders bare; hyperlinks as
+  [text](target)
+- inline groups join their children with single spaces
+- lists nest by 4 spaces; bullets "-" (the reference's docx path never
+  enumerates — msword_backend.py:717)
+- tables via the tabulate-style renderer; pictures → "<!-- image -->"
+- raw text escapes & and _ (link targets untouched)
+"""
+
+from __future__ import annotations
+
+from doc_parser_spark.functions.docx_extract import DocxNode
+from doc_parser_spark.functions.export_md import render_md_table
+
+
+def _esc(text: str) -> str:
+    return text.replace("&", "&amp;").replace("_", "\\_")
+
+
+def _fmt(n: DocxNode) -> str:
+    t = _esc(n.text)
+    if n.bold and n.italic:
+        t = f"***{t}***"
+    elif n.bold:
+        t = f"**{t}**"
+    elif n.italic:
+        t = f"*{t}*"
+    if n.hyperlink:
+        t = f"[{t}]({n.hyperlink})"
+    return t
+
+
+def _inline_text(group: DocxNode) -> str:
+    return " ".join(_fmt(c) for c in group.children if c.text)
+
+
+def _render_list(group: DocxNode, depth: int, lines: list[str]) -> None:
+    for child in group.children:
+        if child.label == "list":
+            _render_list(child, depth + 1, lines)
+        elif child.label == "list_item":
+            inline = next(
+                (c for c in child.children if c.label == "inline"), None
+            )
+            text = _inline_text(inline) if inline is not None else _fmt(child)
+            lines.append("    " * depth + "- " + text)
+
+
+def export_tree_markdown(root: DocxNode) -> str:
+    blocks: list[str] = []
+
+    def walk(node: DocxNode) -> None:
+        for child in node.children:
+            label = child.label
+            if label == "list":
+                lines: list[str] = []
+                _render_list(child, 0, lines)
+                if lines:
+                    blocks.append("\n".join(lines))
+            elif label == "inline":
+                text = _inline_text(child)
+                if text:
+                    blocks.append(text)
+            elif label in ("section", "unspecified"):
+                walk(child)
+            elif label == "title":
+                blocks.append("# " + _esc(child.text))
+                walk(child)
+            elif label == "section_header":
+                level = child.level if child.level is not None else 1
+                blocks.append("#" * (level + 1) + " " + _esc(child.text))
+                walk(child)
+            elif label == "table":
+                if child.grid:
+                    blocks.append(render_md_table(child.grid))
+                walk(child)
+            elif label == "picture":
+                blocks.append("<!-- image -->")
+                walk(child)
+            else:  # paragraph / text / list_item at top level
+                if child.text:
+                    blocks.append(_fmt(child))
+                walk(child)
+
+    walk(root)
+    return "\n\n".join(blocks)

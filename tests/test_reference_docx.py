@@ -75,3 +75,16 @@ def test_extract_docx_surface():
     for s, e, label, page in spans:
         assert 0 <= s < e <= len(text)
         assert page == 1
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_docx_markdown_parity(name):
+    """Byte-exact markdown export vs the reference's own .docx.md goldens
+    (formatting markers, inline-group joins, list nesting, tables)."""
+    from doc_parser_spark.functions.export_tree_md import export_tree_markdown
+
+    ours = export_tree_markdown(
+        parse_docx((DOCX_DIR / f"{name}.docx").read_bytes())
+    ).rstrip("\n")
+    expected = (GT_DIR / f"{name}.docx.md").read_text().rstrip("\n")
+    assert ours == expected
