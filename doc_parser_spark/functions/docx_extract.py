@@ -68,7 +68,9 @@ class DocxNode:
 
     @property
     def is_group(self) -> bool:
-        return self.label in ("inline", "list", "section", "unspecified")
+        return self.label in (
+            "inline", "list", "section", "chapter", "unspecified",
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,9 @@ def _render_list(group: DocxNode, depth: int, lines: list[str]) -> None:
                 (c for c in child.children if c.label == "inline"), None
             )
             text = _inline_text(inline) if inline is not None else _fmt(child)
-            lines.append("    " * depth + "- " + text)
+            # enumerated items carry their "N." marker in .name (pptx path)
+            marker = child.name or "-"
+            lines.append("    " * depth + marker + " " + text)
 
 
 def export_tree_markdown(root: DocxNode) -> str:

@@ -1,0 +1,250 @@
+"""PPTX extraction (B10) — stdlib port of the reference's MsPowerpoint
+backend (/root/reference/docling/backend/mspowerpoint_backend.py).
+
+Ported semantics (file:line cites):
+- one ``slide-N`` chapter group per slide (walk_linear :372-383)
+- shape dispatch: tables, charts (picture placeholder), pictures, then text
+  frames; empty-text shapes skipped (handle_shapes :392-422)
+- group shapes become inline groups with children sorted visually
+  top→left (handle_groups :423-445)
+- list detection per paragraph: a:buChar → bullet, a:buAutoNum → numbered
+  (with "N." markers), indent level > 0 → sub-list; ONE list group per
+  shape once the first list item appears (handle_text_elements :139-202)
+- line breaks inside a paragraph become spaces (:173-177)
+- title placeholders (ph type ctrTitle/title) label TITLE; the reference's
+  subtitle branch is a no-op (bare expression, :219) — port kept
+  bug-compatible, subtitles stay plain paragraphs
+- non-list text is labeled ``paragraph`` to match the checked-in
+  groundtruth exports (the genon fork later relabeled to TEXT for its TOC
+  enrichment, mspowerpoint_backend.py:209 — a post-groundtruth change);
+  the fork's 자료:/참고:/출처: caption detection is ported
+- tables: raw a:tr/a:tc grid with rowSpan/gridSpan, empty-text cells
+  dropped, column count = widest row (handle_tables :308-371)
+"""
+
+from __future__ import annotations
+
+import zipfile
+from io import BytesIO
+from xml.etree import ElementTree as ET
+
+from doc_parser_spark.functions.docx_extract import DocxNode
+
+P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+RDOC = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+_CAPTION_PREFIXES = ("자료:", "참고:", "출처:")
+
+
+def _para_text(p: ET.Element) -> str:
+    """a:p content: runs + fields; a:br → ' ' (CT_TextLineBreak rule)."""
+    parts: list[str] = []
+    for child in p:
+        tag = child.tag
+        if tag in (f"{A}r", f"{A}fld"):
+            t = child.find(f"{A}t")
+            parts.append(t.text or "" if t is not None else "")
+        elif tag == f"{A}br":
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _shape_text(sp: ET.Element) -> str:
+    tx = sp.find(f"{P}txBody")
+    if tx is None:
+        return ""
+    return "\n".join(_para_text(p) for p in tx.findall(f"{A}p"))
+
+
+def _ph_type(sp: ET.Element) -> tuple[bool, str]:
+    ph = sp.find(f"{P}nvSpPr/{P}nvPr/{P}ph")
+    if ph is None:
+        return False, ""
+    return True, ph.get("type") or "body"
+
+
+def _shape_pos(sp: ET.Element) -> tuple[int, int]:
+    off = sp.find(f".//{A}xfrm/{A}off")
+    if off is None:
+        return (0, 0)
+    try:
+        return (int(off.get("y") or 0), int(off.get("x") or 0))
+    except ValueError:
+        return (0, 0)
+
+
+class _PptxWalker:
+    def __init__(self) -> None:
+        self.root = DocxNode("unspecified", name="_root_")
+
+    def handle_slide(self, slide_root: ET.Element, idx: int) -> None:
+        group = DocxNode("chapter", name=f"slide-{idx}")
+        self.root.children.append(group)
+        tree = slide_root.find(f"{P}cSld/{P}spTree")
+        if tree is None:
+            return
+        for shape in tree:
+            self.handle_shape(shape, group)
+
+    def handle_shape(self, shape: ET.Element, parent: DocxNode) -> None:
+        tag = shape.tag
+        if tag == f"{P}grpSp":
+            inline = DocxNode(
+                "inline",
+                name=shape.findtext(f"{P}nvGrpSpPr/{P}cNvPr[@name]") or "group",
+            )
+            parent.children.append(inline)
+            children = [c for c in shape if c.tag.startswith(P)]
+            for child in sorted(children, key=_shape_pos):
+                self.handle_shape(child, inline)
+            return
+        if tag == f"{P}graphicFrame":
+            tbl = shape.find(f".//{A}tbl")
+            if tbl is not None:
+                self.handle_table(tbl, parent)
+            elif shape.find(f".//{A}graphic") is not None and (
+                "chart" in ET.tostring(shape, encoding="unicode")[:2000]
+            ):
+                parent.children.append(DocxNode("picture"))
+            return
+        if tag == f"{P}pic":
+            parent.children.append(DocxNode("picture"))
+            return
+        if tag != f"{P}sp":
+            return
+        if not _shape_text(shape).strip():
+            return
+        self.handle_text(shape, parent)
+
+    def handle_text(self, shape: ET.Element, parent: DocxNode) -> None:
+        is_ph, ph_type = _ph_type(shape)
+        tx = shape.find(f"{P}txBody")
+        if tx is None:
+            return
+        list_group: DocxNode | None = None
+        enum_value = 0
+        for p in tx.findall(f"{A}p"):
+            ppr = p.find(f"{A}pPr")
+            has_buchar = p.find(f".//{A}buChar") is not None
+            has_autonum = p.find(f".//{A}buAutoNum") is not None
+            lvl = 0
+            if ppr is not None:
+                try:
+                    lvl = int(ppr.get("lvl") or 0)
+                except ValueError:
+                    lvl = 0
+            is_list = has_buchar or has_autonum or lvl > 0
+            text = _para_text(p)
+            if is_list:
+                enumerated = has_autonum
+                if list_group is None:
+                    list_group = DocxNode("list", name="list")
+                    parent.children.append(list_group)
+                    enum_value = 0
+                marker = ""
+                if enumerated:
+                    enum_value += 1
+                    marker = f"{enum_value}."
+                item = DocxNode("list_item", text)
+                item.name = marker  # marker reused by the md exporter
+                item.level = 1 if enumerated else None
+                list_group.children.append(item)
+            else:
+                label = "paragraph"
+                if is_ph and ph_type in ("ctrTitle", "title"):
+                    label = "title"
+                stripped = text.lstrip()
+                if any(stripped.startswith(c) for c in _CAPTION_PREFIXES):
+                    label = "caption"
+                parent.children.append(DocxNode(label, text))
+
+    def handle_table(self, tbl: ET.Element, parent: DocxNode) -> None:
+        rows = tbl.findall(f"{A}tr")
+        num_rows = len(rows)
+        num_cols = max((len(r.findall(f"{A}tc")) for r in rows), default=0)
+        if num_rows == 0 or num_cols == 0:
+            return
+        grid = [["" for _ in range(num_cols)] for _ in range(num_rows)]
+        any_text = False
+        for r_idx, tr in enumerate(rows):
+            for c_idx, tc in enumerate(tr.findall(f"{A}tc")):
+                text = "\n".join(
+                    _para_text(p) for p in tc.findall(f".//{A}p")
+                ).strip()
+                if not text:
+                    continue
+                any_text = True
+                row_span = int(tc.get("rowSpan") or 1)
+                col_span = int(tc.get("gridSpan") or 1)
+                for r in range(r_idx, min(r_idx + row_span, num_rows)):
+                    for c in range(c_idx, min(c_idx + col_span, num_cols)):
+                        grid[r][c] = text
+        if any_text:
+            parent.children.append(DocxNode("table", grid=grid))
+
+
+def parse_pptx(payload: bytes) -> DocxNode:
+    """.pptx bytes → docling-shaped node tree."""
+    zf = zipfile.ZipFile(BytesIO(payload))
+    names = set(zf.namelist())
+
+    rels: dict[str, str] = {}
+    if "ppt/_rels/presentation.xml.rels" in names:
+        rel_root = ET.fromstring(zf.read("ppt/_rels/presentation.xml.rels"))
+        for rel in rel_root.findall(f"{REL}Relationship"):
+            target = (rel.get("Target") or "").lstrip("/")
+            if not target.startswith("ppt/"):
+                target = "ppt/" + target
+            rels[rel.get("Id") or ""] = target
+
+    pres = ET.fromstring(zf.read("ppt/presentation.xml"))
+    walker = _PptxWalker()
+    idx = 0
+    for sld in pres.findall(f"{P}sldIdLst/{P}sldId"):
+        rid = sld.get(f"{RDOC}id") or ""
+        path = rels.get(rid)
+        if path is None or path not in names:
+            continue
+        walker.handle_slide(ET.fromstring(zf.read(path)), idx)
+        idx += 1
+    return walker.root
+
+
+def extract_pptx(payload: bytes) -> tuple[str, list[tuple[int, int, str, int]]]:
+    """pptx bytes → (main text, spans); page = 1-based slide index."""
+    from doc_parser_spark.functions.docx_extract import flat_items
+    from doc_parser_spark.functions.html_extract import render_table
+
+    parts: list[str] = []
+    spans: list[tuple[int, int, str, int]] = []
+    offset = 0
+    root = parse_pptx(payload)
+    for page, slide in enumerate(root.children, 1):
+        def emit(node: DocxNode) -> None:
+            nonlocal offset
+            for child in node.children:
+                if child.is_group or child.label in ("chapter", "inline"):
+                    emit(child)
+                    continue
+                if child.label == "list":
+                    emit(child)
+                    continue
+                text = (
+                    render_table(child.grid or [])
+                    if child.label == "table"
+                    else child.text
+                )
+                if text:
+                    if parts:
+                        offset += 2
+                    spans.append(
+                        (offset, offset + len(text), child.label, page)
+                    )
+                    parts.append(text)
+                    offset += len(text)
+                emit(child)
+
+        emit(slide)
+    return "\n\n".join(parts), spans
