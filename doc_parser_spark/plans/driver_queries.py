@@ -2363,3 +2363,112 @@ WHERE round(list_cosine_similarity(a.v::DOUBLE[], bb.v::DOUBLE[]), 4) >= 0.3
 
 QUERIES["dedup_embedding_lsh"] = q_dedup_embedding_lsh
 ORACLES["dedup_embedding_lsh"] = ORACLE_DEDUP_EMB_LSH
+
+
+# ===========================================================================
+# batch 21 — office backends (B8 xlsx / B9 docx / B10 pptx) on the Spark
+# surface: real .docx/.xlsx/.pptx bytes are synthesized deterministically
+# inside the Arrow batch (SQL cannot build zips), extracted by the stdlib
+# backends through the binary operator, and oracled by construction. The
+# backends themselves are additionally byte-parity-tested against the
+# reference's own 17 office fixtures (tests/test_reference_{docx,xlsx,pptx}).
+# ===========================================================================
+def _office_query(builder) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from doc_parser_spark.operators.office import extract_office_docs
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "payload": [
+                            builder(int(i), t or "")
+                            for i, t in zip(pdf["doc_id"], pdf["text"])
+                        ],
+                    }
+                )
+
+        payloads = docs.mapInPandas(
+            gen,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            ),
+        )
+        out = extract_office_docs(payloads)
+        return out.select("doc_id", "doc_kind", "parse_status", "extracted_text")
+
+    return q
+
+
+def _build_docx_payload(doc_id: int, text: str) -> bytes:
+    from doc_parser_spark.sources.synth_office import build_docx
+
+    return build_docx(f"Doc {doc_id}", [text], [f"alpha {doc_id}", "bravo"])
+
+
+def _build_xlsx_payload(doc_id: int, text: str) -> bytes:
+    from doc_parser_spark.sources.synth_office import build_xlsx
+
+    return build_xlsx(
+        "Data", [["name", "score"], [f"doc{doc_id}", str(doc_id % 97)]]
+    )
+
+
+def _build_pptx_payload(doc_id: int, text: str) -> bytes:
+    from doc_parser_spark.sources.synth_office import build_pptx
+
+    return build_pptx(f"Deck {doc_id}", [f"alpha {doc_id}", "bravo"])
+
+
+q_b9_docx_extract = _office_query(_build_docx_payload)
+q_b8_xlsx_extract = _office_query(_build_xlsx_payload)
+q_b10_pptx_extract = _office_query(_build_pptx_payload)
+
+ORACLE_B9_DOCX = """
+SELECT doc_id::BIGINT AS doc_id, 'docx' AS doc_kind,
+       'success' AS parse_status,
+       'Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10)
+         || 'alpha ' || doc_id || chr(10) || chr(10) || 'bravo'
+         AS extracted_text
+FROM documents
+"""
+
+ORACLE_B8_XLSX = """
+SELECT doc_id::BIGINT AS doc_id, 'xlsx' AS doc_kind,
+       'success' AS parse_status,
+       '| name | score |' || chr(10) || '|---|---|' || chr(10)
+         || '| doc' || doc_id || ' | ' || (doc_id % 97) || ' |'
+         AS extracted_text
+FROM documents
+"""
+
+ORACLE_B10_PPTX = """
+SELECT doc_id::BIGINT AS doc_id, 'pptx' AS doc_kind,
+       'success' AS parse_status,
+       'Deck ' || doc_id || chr(10) || chr(10) || 'alpha ' || doc_id
+         || chr(10) || chr(10) || 'bravo' AS extracted_text
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "b9_docx_extract": q_b9_docx_extract,
+        "b8_xlsx_extract": q_b8_xlsx_extract,
+        "b10_pptx_extract": q_b10_pptx_extract,
+    }
+)
+ORACLES.update(
+    {
+        "b9_docx_extract": ORACLE_B9_DOCX,
+        "b8_xlsx_extract": ORACLE_B8_XLSX,
+        "b10_pptx_extract": ORACLE_B10_PPTX,
+    }
+)
