@@ -43,6 +43,7 @@ CT_PDF = "pdf"
 CT_MARKDOWN = "markdown"
 CT_CSV = "csv"
 CT_ASCIIDOC = "asciidoc"
+CT_JATS = "jats"
 CT_EMPTY = "empty"
 CT_UNKNOWN = "unknown"
 

@@ -23,8 +23,10 @@ from doc_parser_spark.functions.html_extract import Item
 
 
 def _is_number(s: str) -> bool:
+    # tabulate's _isnumber: plain float() — "7,015" is NOT a number (the
+    # JATS pone table left-aligns such columns in the reference groundtruth)
     try:
-        float(s.replace(",", ""))
+        float(s)
         return True
     except ValueError:
         return False

@@ -14,12 +14,23 @@ the same serializer conventions proven byte-exact on the HTML path
 
 from __future__ import annotations
 
+import re
+
 from doc_parser_spark.functions.docx_extract import DocxNode
 from doc_parser_spark.functions.export_md import render_md_table
 
+_WS_RUN_RE = re.compile(r"\s+")
+
 
 def _esc(text: str) -> str:
-    return text.replace("&", "&amp;").replace("_", "\\_")
+    # the tree serializer html-escapes angle brackets too (JATS groundtruths
+    # show &lt;/&gt; in body text AND table cells); formulas stay verbatim
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace("_", "\\_")
+    )
 
 
 def _fmt(n: DocxNode) -> str:
@@ -78,11 +89,40 @@ def export_tree_markdown(root: DocxNode) -> str:
                 blocks.append("#" * (level + 1) + " " + _esc(child.text))
                 walk(child)
             elif label == "table":
+                # a caption child prints BEFORE the table (the reference's
+                # serializer convention, same as captions before images)
+                caption = next(
+                    (c for c in child.children if c.label == "caption"), None
+                )
+                if caption is not None and caption.text:
+                    blocks.append(_esc(caption.text))
                 if child.grid:
-                    blocks.append(render_md_table(child.grid))
-                walk(child)
+                    # cell whitespace RUNS (incl. unicode spaces/newlines)
+                    # collapse to one ASCII space without stripping; widths
+                    # are computed on that text; escaping happens on the
+                    # rendered block (the groundtruth tables keep pre-escape
+                    # widths around escaped &lt;/&gt; content)
+                    grid = [
+                        [_WS_RUN_RE.sub(" ", c).lstrip() for c in row]
+                        for row in child.grid
+                    ]
+                    blocks.append(_esc(render_md_table(grid)))
+                for c in child.children:
+                    if c is not caption:
+                        walk(c)
             elif label == "picture":
+                caption = next(
+                    (c for c in child.children if c.label == "caption"), None
+                )
+                if caption is not None and caption.text:
+                    blocks.append(_esc(caption.text))
                 blocks.append("<!-- image -->")
+                for c in child.children:
+                    if c is not caption:
+                        walk(c)
+            elif label == "formula":
+                # tex-math body verbatim, whitespace preserved ($$ ... $$)
+                blocks.append(f"$${child.text}$$")
                 walk(child)
             else:  # paragraph / text / list_item at top level
                 if child.text:

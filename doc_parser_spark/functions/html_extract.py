@@ -438,6 +438,16 @@ def parse_table_grid(el: Element) -> Optional[list[list[Optional[str]]]]:
     if el.find("table") is not None:
         return None
 
+    def _rowspan(cell) -> tuple[bool, int]:
+        """(present, value). A th with rowspan='1' is NOT a band header —
+        the rule that generated the JATS groundtruths (a th only banding
+        when its rowspan actually spans); th without rowspan keeps the
+        fork's html_backend.py:443 semantics."""
+        val = cell.get("rowspan")
+        if val is None:
+            return False, 1
+        return True, int(val) if isinstance(val, str) and val.isnumeric() else 1
+
     rows = [r for r in el.find_all("tr")]
     num_rows = 0
     num_cols = 0
@@ -448,7 +458,8 @@ def parse_table_grid(el: Element) -> Optional[list[list[Optional[str]]]]:
             val = cell.get("colspan", "1")
             colspan = int(val) if isinstance(val, str) and val.isnumeric() else 1
             col_count += colspan
-            if cell.name == "td" or cell.get("rowspan") is None:
+            present, rs = _rowspan(cell)
+            if cell.name == "td" or not present or rs == 1:
                 is_row_header = False
         num_cols = max(num_cols, col_count)
         if not is_row_header:
@@ -467,9 +478,8 @@ def parse_table_grid(el: Element) -> Optional[list[list[Optional[str]]]]:
         cells = _row_cells(row)
         row_header = True
         for c in cells:
-            if c.name == "td":
-                row_header = False
-            elif c.get("rowspan") is None:
+            present, rs = _rowspan(c)
+            if c.name == "td" or not present or rs == 1:
                 row_header = False
         if not row_header:
             row_idx += 1

@@ -35,6 +35,7 @@ from doc_parser_spark.datamodel import (
     CT_CSV,
     CT_EMPTY,
     CT_HTML,
+    CT_JATS,
     CT_MARKDOWN,
     CT_PDF,
     CT_PLAIN,
@@ -47,6 +48,7 @@ from doc_parser_spark.datamodel import (
 from doc_parser_spark.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_spark.functions.csv_extract import extract_csv
 from doc_parser_spark.functions.html_extract import extract_html
+from doc_parser_spark.functions.jats_extract import extract_jats
 from doc_parser_spark.functions.md_extract import extract_md
 from doc_parser_spark.functions.pdfish_extract import extract_pdfish
 from doc_parser_spark.functions.plain_extract import extract_plain
@@ -65,6 +67,7 @@ EXTRACT_OUTPUT_SCHEMA = T.StructType(
 _EXTRACTORS = {
     CT_ASCIIDOC: extract_asciidoc,
     CT_HTML: extract_html,
+    CT_JATS: extract_jats,
     CT_PDF: extract_pdfish,
     CT_PLAIN: extract_plain,
     CT_MARKDOWN: extract_md,

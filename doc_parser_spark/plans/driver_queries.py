@@ -2472,3 +2472,47 @@ ORACLES.update(
         "b10_pptx_extract": ORACLE_B10_PPTX,
     }
 )
+
+
+# ===========================================================================
+# batch 22 — JATS article extraction (B12) on the text-payload surface:
+# JATS is XML text, so the payload is SQL-constructible and the whole
+# sniff -> route -> extract path is oracled by construction. The backend is
+# additionally parity-tested against all five of the reference's own JATS
+# fixtures (tests/test_reference_jats.py: 5/5 itxt, 4/5 byte-exact md).
+# ===========================================================================
+PAYLOAD_JATS = (
+    "'<?xml version=\"1.0\"?><article><front><article-meta>"
+    "<title-group><article-title>Doc ' || doc_id || '</article-title>"
+    "</title-group><abstract><p>' || text || '</p></abstract>"
+    "</article-meta></front><body><sec><title>Methods</title>"
+    "<p>alpha ' || doc_id || '</p></sec></body></article>'"
+)
+
+
+def q_b12_jats_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_JATS).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "parse_status",
+        "extracted_text",
+    )
+
+
+ORACLE_B12_JATS = """
+SELECT doc_id::BIGINT AS doc_id, 'jats' AS content_type,
+       'success' AS parse_status,
+       'Doc ' || doc_id || chr(10) || chr(10) || 'Abstract' || chr(10)
+         || chr(10) || text || chr(10) || chr(10) || 'Methods' || chr(10)
+         || chr(10) || 'alpha ' || doc_id AS extracted_text
+FROM documents
+"""
+
+QUERIES["b12_jats_extract"] = q_b12_jats_extract
+ORACLES["b12_jats_extract"] = ORACLE_B12_JATS

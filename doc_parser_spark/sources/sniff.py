@@ -21,6 +21,7 @@ from doc_parser_spark.datamodel import (
     CT_CSV,
     CT_EMPTY,
     CT_HTML,
+    CT_JATS,
     CT_MARKDOWN,
     CT_PDF,
     CT_PLAIN,
@@ -54,6 +55,12 @@ def _is_html_fragment(content: str) -> bool:
     if _HTML_FRAGMENT_TAG_RE.match(content):
         return True
     return len(_HTML_FRAGMENT_TAG_RE.findall(content)) >= _FRAGMENT_MIN_TAGS
+# JATS article probe: an xml-declared or root-level <article> with JATS
+# structure markers in the head (B12; distinct from html5's <article> tag,
+# which only appears after a doctype/html/body probe hit)
+_JATS_RE = re.compile(r"^(?:<\?xml[^>]*>\s*)?(?:<!doctype\s+article[^>]*>\s*)?<article[\s>]")
+_JATS_MARKER_RE = re.compile(r"<(?:front|article-meta|journal-meta)[\s>]")
+
 # markdown probe: an ATX heading or fence at a line start in the head
 _MD_RE = re.compile(r"(?m)^(?:#{1,6} |```)")
 # asciidoc probe: the first non-blank line is a '=' title/section
@@ -74,6 +81,8 @@ def sniff_text(text: str | None) -> str:
         return CT_HTML
     if _HTML_RE.match(content):
         return CT_HTML
+    if _JATS_RE.match(content) and _JATS_MARKER_RE.search(content):
+        return CT_JATS
     if _ADOC_RE.match(head.lstrip()):
         return CT_ASCIIDOC
     if _MD_RE.search(head):
@@ -97,6 +106,9 @@ def sniff_series(texts: pd.Series) -> pd.Series:
         "xhtml", regex=False
     )
     is_html_full = lowered.str.match(_HTML_RE) | is_xhtml
+    is_jats = lowered.str.match(_JATS_RE) & lowered.str.contains(
+        _JATS_MARKER_RE, regex=True
+    )
     is_adoc = head.str.lstrip().str.match(_ADOC_RE)
     is_md = head.str.contains(_MD_RE, regex=True) & ~is_adoc
     is_html_frag = lowered.str.match(_HTML_FRAGMENT_TAG_RE) | (
@@ -115,6 +127,7 @@ def sniff_series(texts: pd.Series) -> pd.Series:
     out[is_html_frag] = CT_HTML
     out[is_md] = CT_MARKDOWN
     out[is_adoc] = CT_ASCIIDOC
+    out[is_jats] = CT_JATS
     out[is_html_full] = CT_HTML
     out[is_pdf] = CT_PDF
     out[is_empty] = CT_EMPTY
