@@ -1,0 +1,351 @@
+"""USPTO patent extraction (B13, ICE v4.x subset) — stdlib port of the
+reference's PatentUsptoIce parser
+(/root/reference/docling/backend/xml/uspto_backend.py:167-501) plus its
+CALS/OASIS XmlTable (:1400-1695), on xml.etree instead of xml.sax + bs4.
+
+Supported: Patent Grant / Application Full Text Data XML v4.x ICE
+(us-patent-grant / us-patent-application roots, 2005+). The three legacy
+DTD families (grant v2.5, application v1.x, the pre-2001 APS text format)
+raise ValueError — documented subset; both of the reference's ICE fixtures
+are covered with item parity.
+
+Ported semantics:
+- the SAX event stream is replayed from the ElementTree in document order,
+  driving the exact handler state machine: a property stack of registered
+  elements where only text-bearing tops accumulate characters (so <maths>
+  and <table> content never leaks into paragraphs, :219-241)
+- title at the current level; headings bump the level ladder via their
+  ``level`` attribute (:361-372); ABSTRACT and CLAIMS synthesized headings
+  at level 2 (:43-47)
+- claim-text fragments join into one claim paragraph, whitespace-collapsed;
+  a claim line may open before the previous closed (:355-360, :419-431)
+- <sup>/<sub> content maps to unicode super/subscript characters
+  (HtmlEntity tables, :1706-1755)
+- tables: empty placeholders positioned during the walk, then every raw
+  ``<table>...</table>`` block parsed with the OASIS model: per-tgroup
+  colspec widths unify into a global offset grid, entries replicate across
+  their namest..nameend range, empty rows drop (:180-210, :1400-1695)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from xml.etree import ElementTree as ET
+
+from doc_parser_spark.functions.docx_extract import DocxNode
+
+_SUPERSCRIPT = str.maketrans(
+    {
+        "1": "¹", "2": "²", "3": "³", "4": "⁴", "5": "⁵", "6": "⁶",
+        "7": "⁷", "8": "⁸", "9": "⁹", "0": "⁰", "+": "⁺", "-": "⁻",
+        "−": "⁻", "=": "⁼", "(": "⁽", ")": "⁾", "a": "ª", "o": "º",  # noqa: RUF001
+        "i": "ⁱ", "n": "ⁿ",
+    }
+)
+_SUBSCRIPT = str.maketrans(
+    {
+        "1": "₁", "2": "₂", "3": "₃", "4": "₄", "5": "₅", "6": "₆",
+        "7": "₇", "8": "₈", "9": "₉", "0": "₀", "+": "₊", "-": "₋",
+        "−": "₋", "=": "₌", "(": "₍", ")": "₎", "a": "ₐ", "e": "ₑ",  # noqa: RUF001
+        "o": "ₒ", "x": "ₓ",
+    }
+)
+
+# registered elements: value -> is_text (PatentUsptoIce.PatentHandler.Element)
+_REGISTERED = {
+    "abstract": True,
+    "invention-title": True,
+    "claims": False,
+    "claim": False,
+    "claim-text": True,
+    "p": True,
+    "heading": True,
+    "description": False,
+    "table": False,
+    "description-of-drawings": True,
+    "sup": True,
+    "sub": True,
+    "maths": False,
+}
+
+_DOC_ROOTS = ("us-patent-application", "us-patent-grant")
+_TABLE_BLOCK_RE = re.compile(r"^(<table .*?</table>)", re.MULTILINE | re.DOTALL)
+_WS_RE = re.compile(r"\s+")
+
+
+class _IceHandler:
+    """The reference's PatentHandler state machine over replayed events."""
+
+    def __init__(self) -> None:
+        self.root = DocxNode("unspecified", name="_root_")
+        self.level = 1
+        self.parents: dict[int, Optional[DocxNode]] = {1: None}
+        self.property: list[str] = []
+        self.claim = ""
+        self.claims: list[str] = []
+        self.abstract = ""
+        self.text = ""
+        self.tables: list[DocxNode] = []
+
+    def _add(self, node: DocxNode, parent: Optional[DocxNode]) -> DocxNode:
+        (parent if parent is not None else self.root).children.append(node)
+        return node
+
+    # -- events ---------------------------------------------------------------
+    def start(self, tag: str, attrs: dict) -> None:
+        if tag in _DOC_ROOTS:
+            self.text = ""
+        if tag in _REGISTERED:
+            if (
+                tag == "claim-text"
+                and self.property
+                and self.property[-1] == tag
+                and self.text.strip()
+            ):
+                self.claim += " " + self.text.strip()
+                self.text = ""
+            elif tag == "heading":
+                level_attr = attrs.get("level", "")
+                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                max_level = min(self.parents.keys())
+                self.level = (
+                    new_level + 1
+                    if (new_level + 1) in self.parents
+                    else max_level
+                )
+            self.property.append(tag)
+
+    def chars(self, content: str) -> None:
+        if not self.property:
+            return
+        top = self.property[-1]
+        if not _REGISTERED[top]:
+            return
+        if top in ("sup", "sub"):
+            if len(self.property) < 2:
+                return
+            parent = self.property[-2]
+            if _REGISTERED.get(parent):
+                table = _SUPERSCRIPT if top == "sup" else _SUBSCRIPT
+                self.text += content.translate(table)
+        else:
+            self.text += content
+
+    def end(self, tag: str) -> None:
+        if tag in _REGISTERED and self.property:
+            current = self.property.pop()
+            self._add_property(current, self.text.strip())
+
+    # -- state transitions (uspto_backend.py:375-472) ---------------------------
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "invention-title":
+            if text:
+                self.parents[self.level + 1] = self._add(
+                    DocxNode("title", text), self.parents[self.level]
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "abstract":
+            if self.abstract:
+                level = 2 if 2 in self.parents else 1
+                heading = self._add(
+                    DocxNode("section_header", "ABSTRACT", level=level),
+                    self.parents[level],
+                )
+                heading.children.append(DocxNode("paragraph", self.abstract))
+        elif name == "claim-text":
+            text = _WS_RE.sub(" ", text).strip()
+            if text:
+                self.claim += " " + text
+            self.text = ""
+        elif name == "claim" and self.claim:
+            self.claims.append(self.claim.strip())
+            self.claim = ""
+        elif name == "claims" and self.claims:
+            level = 2 if 2 in self.parents else 1
+            heading = self._add(
+                DocxNode("section_header", "CLAIMS", level=level),
+                self.parents[level],
+            )
+            for text in self.claims:
+                heading.children.append(DocxNode("paragraph", text))
+        elif name == "p" and text:
+            text = _WS_RE.sub(" ", text)
+            if "abstract" in self.property:
+                self.abstract = (
+                    (self.abstract + " " + text) if self.abstract else text
+                )
+            else:
+                self._add(
+                    DocxNode("paragraph", text), self.parents.get(self.level)
+                )
+            self.text = ""
+        elif name == "heading" and text:
+            self.parents[self.level + 1] = self._add(
+                DocxNode("section_header", text, level=self.level),
+                self.parents.get(self.level),
+            )
+            self.level += 1
+            self.text = ""
+        elif name == "table":
+            node = self._add(DocxNode("table", grid=[]), self.parents.get(self.level))
+            self.tables.append(node)
+
+
+def _replay(el: ET.Element, handler: _IceHandler) -> None:
+    handler.start(el.tag, el.attrib)
+    if el.text:
+        handler.chars(el.text)
+    for child in el:
+        _replay(child, handler)
+        if child.tail:
+            handler.chars(child.tail)
+    handler.end(el.tag)
+
+
+# ---------------------------------------------------------------------------
+# CALS/OASIS table parsing (XmlTable port)
+# ---------------------------------------------------------------------------
+def _parse_cals_table(table: ET.Element) -> Optional[list[list[str]]]:
+    tgs = table.findall("tgroup")
+    if not tgs:
+        return None
+
+    # unified offsets across tgroups
+    colinfo = []
+    for tg in tgs:
+        widths, offsets = [], []
+        offst = 0
+        for cs in tg.findall("colspec"):
+            cw = re.sub("pt|mm", "", cs.get("colwidth") or "0", flags=re.I)
+            try:
+                cw = int(cw)
+            except ValueError:
+                try:
+                    cw = float(cw)
+                except ValueError:
+                    cw = 0
+            widths.append(cw)
+            offsets.append(offst)
+            offst += cw
+        offsets.append(offst)
+        colinfo.append({"offset": offsets, "colwidth": widths})
+    if not colinfo:
+        return None
+
+    min_offsets = sorted(
+        set(o for col in colinfo for o in col["offset"])
+        | {col["offset"][i] for col in colinfo
+           for i, cw in enumerate(col["colwidth"]) if cw == 0}
+    )
+    ncols_max = 0
+    for col in colinfo:
+        col["cell_range"] = []
+        col["cell_offst"] = [0]
+        i, range_ = 1, 1
+        for min_i in range(1, len(min_offsets)):
+            if i >= len(col["offset"]):
+                break
+            if min_offsets[min_i] == col["offset"][i]:
+                if len(col["offset"]) == i + 1 and len(min_offsets) > min_i + 1:
+                    range_ += 1
+                else:
+                    col["cell_range"].append(range_)
+                    col["cell_offst"].append(col["cell_offst"][-1] + range_)
+                    range_ = 1
+                    i += 1
+            elif min_offsets[min_i] < col["offset"][i]:
+                range_ += 1
+            else:
+                return None
+        ncols_max = max(ncols_max, len(min_offsets) - 1)
+
+    rows: list[list[str]] = []
+    for itg, tg in enumerate(tgs):
+        cell_offst = colinfo[itg]["cell_offst"]
+        for row_sec in tg.iter():
+            if row_sec.tag not in ("row", "tr"):
+                continue
+            entries = [e for e in row_sec if e.tag in ("entry", "td")]
+            local = [""] * ncols_max
+            is_empty = True
+            wrong = False
+            for ientry, entry in enumerate(entries):
+                text = "".join(entry.itertext()).strip()
+                namest = entry.get("namest")
+                nameend = entry.get("nameend")
+                start = (
+                    int(namest)
+                    if namest and namest.isnumeric()
+                    else ientry + 1
+                )
+                if nameend and nameend.isnumeric():
+                    end, shift = int(nameend), 0
+                else:
+                    end, shift = ientry + 2, 1
+                if end > len(cell_offst):
+                    wrong = True
+                    break
+                lo = cell_offst[start - 1]
+                hi = cell_offst[end - 1] - shift
+                if text:
+                    is_empty = False
+                for c in range(lo, hi + 1):
+                    if c < ncols_max:
+                        local[c] = text
+            if wrong or is_empty:
+                continue
+            rows.append(local)
+    return rows if rows else None
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+def parse_uspto(xml_text: str | bytes) -> DocxNode:
+    """USPTO ICE v4 patent XML → docling-shaped node tree."""
+    if isinstance(xml_text, bytes):
+        xml_text = xml_text.decode("utf-8", errors="replace")
+    head = xml_text[:2048].lower()
+    if not any(f"<{r}" in head for r in _DOC_ROOTS):
+        raise ValueError("unsupported USPTO format (ICE v4 subset)")
+    tree = ET.fromstring(xml_text)
+    handler = _IceHandler()
+    _replay(tree, handler)
+
+    # fill table placeholders from the raw <table> blocks (reference parses
+    # them outside the SAX stream, uspto_backend.py:188-209)
+    raw_tables = _TABLE_BLOCK_RE.findall(xml_text)
+    if len(raw_tables) == len(handler.tables):
+        for node, raw in zip(handler.tables, raw_tables):
+            try:
+                grid = _parse_cals_table(ET.fromstring(raw))
+            except ET.ParseError:
+                grid = None
+            node.grid = grid or []
+    return handler.root
+
+
+def extract_uspto(xml_text: str) -> tuple[str, list[tuple[int, int, str, int]]]:
+    """USPTO ICE XML → (main text, spans)."""
+    from doc_parser_spark.functions.docx_extract import flat_items
+    from doc_parser_spark.functions.html_extract import render_table
+
+    parts: list[str] = []
+    spans: list[tuple[int, int, str, int]] = []
+    offset = 0
+    for node in flat_items(parse_uspto(xml_text)):
+        text = (
+            render_table(node.grid or [])
+            if node.label == "table"
+            else node.text
+        )
+        if not text:
+            continue
+        if parts:
+            offset += 2
+        spans.append((offset, offset + len(text), node.label, 1))
+        parts.append(text)
+        offset += len(text)
+    return "\n\n".join(parts), spans
