@@ -52,6 +52,56 @@ _SUBSCRIPT = str.maketrans(
     }
 )
 
+_MATH_ITALIC = str.maketrans(
+    {
+        c: chr(cp)
+        for c, cp in list(
+            zip("ABCDEFGHIJKLMNOPQRSTUVW", range(119860, 119883))
+        )
+        + [("Y", 119884), ("Z", 119885)]
+        + list(zip("abcdefg", range(119886, 119893)))
+        + [("h", 119893)]
+        + list(zip("ijklmnopqrstuvwxyz", range(119894, 119912)))
+    }
+)
+
+# ISO 8879 greek entities → unicode (get_greek_from_iso8879 + html.unescape)
+_GREEK = {
+    "Agr": "Α", "Bgr": "Β", "Ggr": "Γ", "Dgr": "Δ", "Egr": "Ε",
+    "Zgr": "Ζ", "EEgr": "Η", "THgr": "Θ", "Igr": "Ι", "Kgr": "Κ",
+    "Lgr": "Λ", "Mgr": "Μ", "Ngr": "Ν", "Xgr": "Ξ", "Ogr": "Ο",
+    "Pgr": "Π", "Rgr": "Ρ", "Sgr": "Σ", "Tgr": "Τ", "Ugr": "Υ",
+    "PHgr": "Φ", "KHgr": "Χ", "PSgr": "Ψ", "OHgr": "Ω",
+    "agr": "α", "bgr": "β", "ggr": "γ", "dgr": "δ", "egr": "ε",
+    "zgr": "ζ", "eegr": "η", "thgr": "θ", "igr": "ι", "kgr": "κ",
+    "lgr": "λ", "mgr": "μ", "ngr": "ν", "xgr": "ξ", "ogr": "ο",
+    "pgr": "π", "rgr": "ρ", "sgr": "ς", "tgr": "τ", "ugr": "υ",
+    "phgr": "φ", "khgr": "χ", "psgr": "ψ", "ohgr": "ω",
+}
+
+_ENTITY_RE = re.compile(r"&([a-zA-Z][a-zA-Z0-9]*);")
+_XML_PREDEFINED = {"amp", "lt", "gt", "quot", "apos"}
+
+
+def _resolve_entities(xml_text: str) -> str:
+    """The legacy DTDs use ISO 8879/HTML entities undeclared to expat; the
+    reference resolves them in SAX skippedEntity (greek map + html.unescape,
+    dropping unrecognized ones, :283-316). Pre-resolving in the raw stream is
+    equivalent: resolved characters flow through the same characters() path."""
+    import html as _html
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name in _XML_PREDEFINED:
+            return m.group(0)
+        if name in _GREEK:
+            return _GREEK[name]
+        unescaped = _html.unescape(m.group(0))
+        return unescaped if unescaped != m.group(0) else ""
+
+    return _ENTITY_RE.sub(sub, xml_text)
+
+
 # registered elements: value -> is_text (PatentUsptoIce.PatentHandler.Element)
 _REGISTERED = {
     "abstract": True,
@@ -85,6 +135,7 @@ class _IceHandler:
         self.claim = ""
         self.claims: list[str] = []
         self.abstract = ""
+        self.paragraph = ""
         self.text = ""
         self.tables: list[DocxNode] = []
 
@@ -204,6 +255,340 @@ def _replay(el: ET.Element, handler: _IceHandler) -> None:
     handler.end(el.tag)
 
 
+class _AppV1Handler(_IceHandler):
+    """PatentUsptoAppV1 (application v1.x, 2001-2004; uspto_backend.py:
+    1098-1398) — the ICE state machine with v1 element names, heading
+    attribute ``lvl``, and abstract accumulated from its inner paragraphs."""
+
+    REGISTERED = {
+        "brief-description-of-drawings": False,
+        "subdoc-abstract": False,
+        "title-of-invention": True,
+        "subdoc-claims": False,
+        "claim": False,
+        "claim-text": True,
+        "number": False,
+        "paragraph": True,
+        "heading": True,
+        "superscript": True,
+        "subscript": True,
+        "table": False,
+        "math-cwu": False,
+    }
+    SUPSUB = ("superscript", "subscript")
+    SUP = "superscript"
+
+    def start(self, tag: str, attrs: dict) -> None:
+        if tag == "patent-application-publication":
+            self.text = ""
+        if tag in self.REGISTERED:
+            if (
+                tag == "claim-text"
+                and self.property
+                and self.property[-1] == tag
+                and self.text.strip()
+            ):
+                self.claim += " " + self.text.strip("\n")
+                self.text = ""
+            elif tag == "heading":
+                level_attr = attrs.get("lvl", "")
+                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                max_level = min(self.parents.keys())
+                self.level = (
+                    new_level + 1
+                    if (new_level + 1) in self.parents
+                    else max_level
+                )
+            self.property.append(tag)
+
+    def chars(self, content: str) -> None:
+        if not self.property:
+            return
+        top = self.property[-1]
+        if not self.REGISTERED[top]:
+            return
+        if top in self.SUPSUB:
+            if len(self.property) < 2:
+                return
+            if self.REGISTERED.get(self.property[-2]):
+                table = _SUPERSCRIPT if top == self.SUP else _SUBSCRIPT
+                self.text += content.translate(table)
+        else:
+            self.text += content
+
+    def end(self, tag: str) -> None:
+        if tag in self.REGISTERED and self.property:
+            current = self.property.pop()
+            self._add_property(current, self.text)
+
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "title-of-invention":
+            title = text.strip()
+            if title:
+                self.parents[self.level + 1] = self._add(
+                    DocxNode("title", title), self.parents[self.level]
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "subdoc-abstract":
+            abstract = self.abstract.strip()
+            if abstract:
+                level = 2 if 2 in self.parents else 1
+                heading = self._add(
+                    DocxNode("section_header", "ABSTRACT", level=level),
+                    self.parents[level],
+                )
+                heading.children.append(DocxNode("paragraph", self.abstract))
+                self.abstract = ""
+            self.text = ""
+        elif name == "claim-text":
+            if text:
+                self.claim += self.text.strip("\n")
+            self.text = ""
+        elif name == "claim":
+            claim = self.claim.strip()
+            if claim:
+                self.claims.append(claim)
+            self.claim = ""
+        elif name == "subdoc-claims" and self.claims:
+            level = 2 if 2 in self.parents else 1
+            heading = self._add(
+                DocxNode("section_header", "CLAIMS", level=level),
+                self.parents[level],
+            )
+            for text in self.claims:
+                heading.children.append(DocxNode("paragraph", text))
+        elif name in ("paragraph", "heading"):
+            if text and "subdoc-abstract" in self.property:
+                self.abstract = (self.abstract + text) if self.abstract else text
+            elif text.strip():
+                text = _WS_RE.sub(" ", text).strip()
+                if name == "heading":
+                    self.parents[self.level + 1] = self._add(
+                        DocxNode("section_header", text, level=self.level),
+                        self.parents.get(self.level),
+                    )
+                    self.level += 1
+                else:
+                    self._add(
+                        DocxNode("paragraph", text), self.parents.get(self.level)
+                    )
+            self.text = ""
+        elif name == "table":
+            node = self._add(
+                DocxNode("table", grid=[]), self.parents.get(self.level)
+            )
+            self.tables.append(node)
+
+
+class _GrantV2Handler(_IceHandler):
+    """PatentUsptoGrantV2 (grants v2.5, 2002-2004; uspto_backend.py:503-846)
+    — PDAT is the sole text carrier; the wrapper element at PDAT end selects
+    the context (title/abstract/claim/paragraph/heading) and the SP/SB/ITALIC
+    styles; the SDOCL claims statement never becomes a heading."""
+
+    REGISTERED = {
+        "PDAT": True,
+        "SDOAB": False,
+        "SDOCL": False,
+        "B540": False,
+        "CL": False,
+        "CLM": False,
+        "PARA": True,
+        "H": True,
+        "DRWDESC": False,
+        "SP": False,
+        "SB": False,
+        "ITALIC": False,
+        "CWU": False,
+        "table": False,
+    }
+
+    def start(self, tag: str, attrs: dict) -> None:
+        if tag == "PATDOC":
+            self.text = ""
+        if tag in self.REGISTERED:
+            if tag == "H" and "SDOCL" not in self.property:
+                level_attr = attrs.get("LVL", "")
+                new_level = int(level_attr) if level_attr.isnumeric() else 1
+                max_level = min(self.parents.keys())
+                self.level = (
+                    new_level + 1
+                    if (new_level + 1) in self.parents
+                    else max_level
+                )
+            self.property.append(tag)
+
+    def chars(self, content: str) -> None:
+        if self.property and self.REGISTERED[self.property[-1]]:
+            if self.property[-1] == "PDAT":
+                self.text += content
+            else:
+                self.text += content  # PARA/H direct text
+
+    def end(self, tag: str) -> None:
+        if tag in self.REGISTERED and self.property:
+            current = self.property.pop()
+            self._add_property(current, self.text)
+
+    def _style(self, text: str, wrapper: str) -> str:
+        if wrapper == "SP":
+            return text.translate(_SUPERSCRIPT)
+        if wrapper == "SB":
+            return text.translate(_SUBSCRIPT)
+        if wrapper == "ITALIC":
+            return text.translate(_MATH_ITALIC)
+        return text
+
+    def _add_property(self, name: str, text: str) -> None:
+        if name == "PDAT" and text:
+            if not self.property:
+                self.text = ""
+                return
+            text = self._style(text, self.property[-1])
+            if "B540" in self.property and text.strip():
+                self.parents[self.level + 1] = self._add(
+                    DocxNode("title", text.strip()), self.parents[self.level]
+                )
+                self.level += 1
+            elif "SDOAB" in self.property:
+                self.abstract += text
+            elif "CLM" in self.property:
+                self.claim += text
+            elif (
+                "PARA" in self.property
+                and "CLM" not in self.property
+                and "SDOAB" not in self.property
+            ):
+                self.paragraph += text
+            elif (
+                "H" in self.property
+                and "SDOCL" not in self.property
+                and text.strip()
+            ):
+                self.parents[self.level + 1] = self._add(
+                    DocxNode("section_header", text.strip(), level=self.level),
+                    self.parents.get(self.level),
+                )
+                self.level += 1
+            self.text = ""
+        elif name == "CLM" and self.claim.strip():
+            self.claims.append(self.claim.strip())
+            self.claim = ""
+        elif name == "CL" and self.claims:
+            level = 2 if 2 in self.parents else 1
+            heading = self._add(
+                DocxNode("section_header", "CLAIMS", level=level),
+                self.parents[level],
+            )
+            for text in self.claims:
+                heading.children.append(DocxNode("paragraph", text))
+        elif name == "SDOAB" and self.abstract.strip():
+            level = 2 if 2 in self.parents else 1
+            heading = self._add(
+                DocxNode("section_header", "ABSTRACT", level=level),
+                self.parents[level],
+            )
+            heading.children.append(DocxNode("paragraph", self.abstract.strip()))
+        elif name == "PARA":
+            paragraph = self.paragraph.strip()
+            if paragraph and "CLM" not in self.property:
+                self._add(
+                    DocxNode("paragraph", paragraph), self.parents.get(self.level)
+                )
+            elif "CLM" in self.property:
+                self.claim += " "
+            self.paragraph = ""
+        elif name == "table":
+            node = self._add(
+                DocxNode("table", grid=[]), self.parents.get(self.level)
+            )
+            self.tables.append(node)
+
+
+def _parse_aps(content: str) -> DocxNode:
+    """PatentUsptoGrantAps port (APS text grants, 1976-2001;
+    uspto_backend.py:848-1060): two-space-split key/value lines under
+    single-token section markers; PAC captions open headings, PAR/PA1-3
+    paragraphs, claims accumulate onto NUM-opened placeholders."""
+    root = DocxNode("unspecified", name="_root_")
+    level = 1
+    parents: dict[int, Optional[DocxNode]] = {1: None}
+
+    def add(node: DocxNode, parent: Optional[DocxNode]) -> DocxNode:
+        (parent if parent is not None else root).children.append(node)
+        return node
+
+    def last_text_item() -> Optional[DocxNode]:
+        parent = parents.get(level)
+        if parent is None:
+            return None
+        texts = [c for c in parent.children if c.label == "paragraph"]
+        return texts[-1] if texts else None
+
+    def store_section(section: str) -> None:
+        nonlocal level
+        if section == "ABST":
+            heading_text = "ABSTRACT"
+        elif section == "CLMS":
+            heading_text = "CLAIMS"
+        else:
+            return
+        level = 2 if 2 in parents else 1
+        parents[level + 1] = add(
+            DocxNode("section_header", heading_text, level=level),
+            parents[level],
+        )
+        level += 1
+
+    def store_content(section: str, field: str, value: str) -> None:
+        nonlocal level
+        if field == "TTL":
+            parents[level + 1] = add(DocxNode("title", value), parents[level])
+            level += 1
+        elif field == "PAL" and section == "ABST":
+            item = last_text_item()
+            if item is not None:
+                item.text += " " + value
+            else:
+                add(DocxNode("paragraph", value), parents[level])
+        elif field == "NUM" and section == "CLMS":
+            add(DocxNode("paragraph", ""), parents[level])
+        elif field in ("PAR", "PA1", "PA2", "PA3") and section == "CLMS":
+            item = last_text_item()
+            if item is None:
+                item = add(DocxNode("paragraph", ""), parents[level])
+            item.text += f" {value.strip()}" if item.text else value.strip()
+        elif field == "PAC" and section in ("BSUM", "DETD", "DRWD"):
+            level = 2 if 2 in parents else 1
+            parents[level + 1] = add(
+                DocxNode("section_header", value, level=level), parents[level]
+            )
+            level += 1
+        elif field in ("PAR", "PA1", "PA2", "PA3") and section in (
+            "BSUM", "DETD", "DRWD",
+        ):
+            add(DocxNode("paragraph", value), parents[level])
+
+    section = key = value = ""
+    for line in content.splitlines():
+        cols = re.split(r"\s{2,}", line, maxsplit=1)
+        if key and value and (len(cols) == 1 or (len(cols) == 2 and cols[0])):
+            store_content(section, key, value)
+            key = value = ""
+        if len(cols) == 1:
+            section = cols[0]
+            store_section(section)
+        elif len(cols) == 2:
+            if cols[0]:
+                key, value = cols
+            elif not re.match(r"^##STR\d+##$", cols[1]):
+                value += " " + cols[1]
+    if key and value:
+        store_content(section, key, value)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # CALS/OASIS table parsing (XmlTable port)
 # ---------------------------------------------------------------------------
@@ -259,7 +644,9 @@ def _parse_cals_table(table: ET.Element) -> Optional[list[list[str]]]:
                 range_ += 1
             else:
                 return None
-        ncols_max = max(ncols_max, len(min_offsets) - 1)
+        # num_cols = widest per-tgroup colspec count (_get_max_ncols), NOT
+        # the unified offset count — the unified grid only drives replication
+        ncols_max = max(ncols_max, len(col["colwidth"]))
 
     rows: list[list[str]] = []
     for itg, tg in enumerate(tgs):
@@ -304,19 +691,42 @@ def _parse_cals_table(table: ET.Element) -> Optional[list[list[str]]]:
 # public API
 # ---------------------------------------------------------------------------
 def parse_uspto(xml_text: str | bytes) -> DocxNode:
-    """USPTO ICE v4 patent XML → docling-shaped node tree."""
+    """USPTO patent XML → docling-shaped node tree.
+
+    Formats: ICE v4 (us-patent-application/us-patent-grant), application
+    v1.x (patent-application-publication), grant v2.5 (PATDOC). The pre-2001
+    APS text format is not supported."""
     if isinstance(xml_text, bytes):
         xml_text = xml_text.decode("utf-8", errors="replace")
-    head = xml_text[:2048].lower()
-    if not any(f"<{r}" in head for r in _DOC_ROOTS):
-        raise ValueError("unsupported USPTO format (ICE v4 subset)")
+    head = xml_text[:2048]
+    if xml_text.startswith("PATN"):
+        return _parse_aps(xml_text)
+    if any(f"<{r}" in head.lower() for r in _DOC_ROOTS):
+        handler: _IceHandler = _IceHandler()
+    elif "<patent-application-publication" in head:
+        handler = _AppV1Handler()
+    elif "<PATDOC" in head:
+        handler = _GrantV2Handler()
+    else:
+        raise ValueError(
+            "unsupported USPTO format (ICE v4 / app v1 / grant v2.5 / APS)"
+        )
+    original = xml_text
+    if handler.__class__ is not _IceHandler:
+        xml_text = _resolve_entities(xml_text)
     tree = ET.fromstring(xml_text)
-    handler = _IceHandler()
     _replay(tree, handler)
 
     # fill table placeholders from the raw <table> blocks (reference parses
-    # them outside the SAX stream, uspto_backend.py:188-209)
-    raw_tables = _TABLE_BLOCK_RE.findall(xml_text)
+    # them outside the SAX stream, uspto_backend.py:188-209, with an XML
+    # parser in recovery mode that DROPS undeclared entities — mirrored by
+    # stripping them, unlike the text path which resolves them)
+    raw_tables = [
+        _ENTITY_RE.sub(
+            lambda m: m.group(0) if m.group(1) in _XML_PREDEFINED else "", t
+        )
+        for t in _TABLE_BLOCK_RE.findall(original)
+    ]
     if len(raw_tables) == len(handler.tables):
         for node, raw in zip(handler.tables, raw_tables):
             try:

@@ -1,7 +1,8 @@
-"""USPTO backend (B13, ICE v4 subset) parity with the reference's OWN
+"""USPTO backend (B13) parity with the reference's OWN
 groundtruth: item streams and byte-exact markdown on both ICE fixtures.
-Legacy DTD families (grant v2.5, application v1, APS text) are a documented
-unsupported subset and raise ValueError."""
+All five reference fixtures are supported and byte-exact: ICE v4
+application/grant, application v1.x, grant v2.5, and the pre-2001 APS text
+format."""
 
 from __future__ import annotations
 
@@ -17,7 +18,8 @@ from tests.test_reference_fixtures import _parse_itxt
 USPTO_DIR = Path("/root/reference/tests/data/uspto")
 GT_DIR = Path("/root/reference/tests/data/groundtruth/docling_v2")
 
-ICE_FIXTURES = ["ipa20180000016", "ipa20200022300"]
+ICE_FIXTURES = ["ipa20180000016", "ipa20200022300", "pa20010031492", "pg06442728"]
+APS_FIXTURE = "pftaps057006474"
 
 
 @pytest.mark.parametrize("name", ICE_FIXTURES)
@@ -50,10 +52,23 @@ def test_uspto_ice_markdown_parity(name):
     assert ours == expected
 
 
-def test_uspto_legacy_formats_rejected():
-    for name in ["pa20010031492.xml", "pg06442728.xml"]:
-        with pytest.raises(ValueError):
-            parse_uspto((USPTO_DIR / name).read_text())
+def test_uspto_aps_parity():
+    root = parse_uspto((USPTO_DIR / f"{APS_FIXTURE}.txt").read_text())
+    got = [(n.label, n.text) for n in flat_items(root)]
+    expected = _parse_itxt(GT_DIR / f"{APS_FIXTURE}.itxt")
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        if g == e:
+            continue
+        head, _, tail = e[1].partition(" ... ")
+        assert g[0] == e[0] and g[1].startswith(head) and g[1].endswith(tail)
+    md = export_tree_markdown(root).rstrip("\n")
+    assert md == (GT_DIR / f"{APS_FIXTURE}.md").read_text().rstrip("\n")
+
+
+def test_uspto_unknown_rejected():
+    with pytest.raises(ValueError):
+        parse_uspto("<unknown-root/>")
 
 
 def test_extract_uspto_surface():
