@@ -44,6 +44,7 @@ CT_MARKDOWN = "markdown"
 CT_CSV = "csv"
 CT_ASCIIDOC = "asciidoc"
 CT_JATS = "jats"
+CT_USPTO = "uspto"
 CT_EMPTY = "empty"
 CT_UNKNOWN = "unknown"
 

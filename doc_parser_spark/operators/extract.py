@@ -39,6 +39,7 @@ from doc_parser_spark.datamodel import (
     CT_MARKDOWN,
     CT_PDF,
     CT_PLAIN,
+    CT_USPTO,
     EXTRACTED_SCHEMA,
     STATUS_FAILURE,
     STATUS_PARTIAL,
@@ -49,6 +50,7 @@ from doc_parser_spark.functions.asciidoc_extract import extract_asciidoc
 from doc_parser_spark.functions.csv_extract import extract_csv
 from doc_parser_spark.functions.html_extract import extract_html
 from doc_parser_spark.functions.jats_extract import extract_jats
+from doc_parser_spark.functions.uspto_extract import extract_uspto
 from doc_parser_spark.functions.md_extract import extract_md
 from doc_parser_spark.functions.pdfish_extract import extract_pdfish
 from doc_parser_spark.functions.plain_extract import extract_plain
@@ -68,6 +70,7 @@ _EXTRACTORS = {
     CT_ASCIIDOC: extract_asciidoc,
     CT_HTML: extract_html,
     CT_JATS: extract_jats,
+    CT_USPTO: extract_uspto,
     CT_PDF: extract_pdfish,
     CT_PLAIN: extract_plain,
     CT_MARKDOWN: extract_md,

@@ -2516,3 +2516,52 @@ FROM documents
 
 QUERIES["b12_jats_extract"] = q_b12_jats_extract
 ORACLES["b12_jats_extract"] = ORACLE_B12_JATS
+
+
+# ===========================================================================
+# batch 23 — USPTO patent extraction (B13) on the text surface: ICE v4 XML
+# is SQL-constructible, so the whole sniff -> route -> extract path is
+# oracled by construction. The backend covers all four DTD families + APS
+# text, parity-tested against all five reference fixtures
+# (tests/test_reference_uspto.py: 5/5 itxt item-exact AND md byte-exact).
+# ===========================================================================
+PAYLOAD_USPTO = (
+    "'<?xml version=\"1.0\"?><us-patent-application>"
+    "<us-bibliographic-data-application><invention-title>Patent ' || doc_id "
+    "|| '</invention-title></us-bibliographic-data-application>"
+    "<abstract><p>' || text || '</p></abstract>"
+    "<description><heading level=\"1\">FIELD</heading>"
+    "<p>alpha ' || doc_id || '</p></description>"
+    "<claims><claim><claim-text>A device ' || doc_id || '.</claim-text>"
+    "</claim></claims></us-patent-application>'"
+)
+
+
+def q_b13_uspto_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(PAYLOAD_USPTO).alias("text"),
+    )
+    out = extract_turns(docs, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "parse_status",
+        "extracted_text",
+    )
+
+
+ORACLE_B13_USPTO = """
+SELECT doc_id::BIGINT AS doc_id, 'uspto' AS content_type,
+       'success' AS parse_status,
+       'Patent ' || doc_id || chr(10) || chr(10) || 'ABSTRACT' || chr(10)
+         || chr(10) || text || chr(10) || chr(10) || 'FIELD' || chr(10)
+         || chr(10) || 'alpha ' || doc_id || chr(10) || chr(10) || 'CLAIMS'
+         || chr(10) || chr(10) || 'A device ' || doc_id || '.'
+         AS extracted_text
+FROM documents
+"""
+
+QUERIES["b13_uspto_extract"] = q_b13_uspto_extract
+ORACLES["b13_uspto_extract"] = ORACLE_B13_USPTO

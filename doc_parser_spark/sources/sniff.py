@@ -23,6 +23,7 @@ from doc_parser_spark.datamodel import (
     CT_HTML,
     CT_JATS,
     CT_MARKDOWN,
+    CT_USPTO,
     CT_PDF,
     CT_PLAIN,
 )
@@ -61,6 +62,13 @@ def _is_html_fragment(content: str) -> bool:
 _JATS_RE = re.compile(r"^(?:<\?xml[^>]*>\s*)?(?:<!doctype\s+article[^>]*>\s*)?<article[\s>]")
 _JATS_MARKER_RE = re.compile(r"<(?:front|article-meta|journal-meta)[\s>]")
 
+# USPTO patent probe (B13): the four supported grammars' root elements
+_USPTO_RE = re.compile(
+    r"^(?:<\?xml[^>]*>\s*)?(?:<!doctype\s+[^>]*>\s*)?"
+    r"<(?:us-patent-application|us-patent-grant|patent-application-publication"
+    r"|patdoc)[\s>]"
+)
+
 # markdown probe: an ATX heading or fence at a line start in the head
 _MD_RE = re.compile(r"(?m)^(?:#{1,6} |```)")
 # asciidoc probe: the first non-blank line is a '=' title/section
@@ -83,6 +91,8 @@ def sniff_text(text: str | None) -> str:
         return CT_HTML
     if _JATS_RE.match(content) and _JATS_MARKER_RE.search(content):
         return CT_JATS
+    if head.startswith("PATN\n") or _USPTO_RE.match(content):
+        return CT_USPTO
     if _ADOC_RE.match(head.lstrip()):
         return CT_ASCIIDOC
     if _MD_RE.search(head):
@@ -109,6 +119,7 @@ def sniff_series(texts: pd.Series) -> pd.Series:
     is_jats = lowered.str.match(_JATS_RE) & lowered.str.contains(
         _JATS_MARKER_RE, regex=True
     )
+    is_uspto = head.str.startswith("PATN\n") | lowered.str.match(_USPTO_RE)
     is_adoc = head.str.lstrip().str.match(_ADOC_RE)
     is_md = head.str.contains(_MD_RE, regex=True) & ~is_adoc
     is_html_frag = lowered.str.match(_HTML_FRAGMENT_TAG_RE) | (
@@ -127,6 +138,7 @@ def sniff_series(texts: pd.Series) -> pd.Series:
     out[is_html_frag] = CT_HTML
     out[is_md] = CT_MARKDOWN
     out[is_adoc] = CT_ASCIIDOC
+    out[is_uspto] = CT_USPTO
     out[is_jats] = CT_JATS
     out[is_html_full] = CT_HTML
     out[is_pdf] = CT_PDF
