@@ -348,6 +348,11 @@ FROM paras
 # (standard_pdf_pipeline.py:290-319, base_models.py:370-457)
 # ---------------------------------------------------------------------------
 def q_o6_confidence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: `percentile` is exact (sorts each group's values) so the
+    DuckDB oracle can match bit-for-bit; at corpus scale with few groups,
+    swap to percentile_approx (t-digest, map-side combinable) — the oracle
+    pins the exact variant because approx sketches aren't reproducible
+    across engines."""
     scored = q_p1_text_quality(spark, sf_dir).join(
         _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "lang"),
         "doc_id",
