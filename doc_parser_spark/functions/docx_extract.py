@@ -380,10 +380,60 @@ class _DocxWalker:
             return self._heading_and_level(base)
         return label, None
 
+    # -- equations (msword_backend.py:634-683) ---------------------------------
+    def _equations_in_text(self, p: ET.Element, text: str):
+        from doc_parser_spark.functions.omath import M as MNS
+        from doc_parser_spark.functions.omath import omath_to_latex
+
+        only_texts: list[str] = []
+        only_equations: list[str] = []
+        texts_and_equations: list[str] = []
+        for subt in p.iter():
+            tag = subt.tag
+            local = tag.rsplit("}", 1)[-1]
+            if local == "t" and not tag.startswith(MNS):
+                if isinstance(subt.text, str):
+                    only_texts.append(subt.text)
+                    texts_and_equations.append(subt.text)
+            elif tag == f"{MNS}oMath":
+                latex = omath_to_latex(subt).strip()
+                if latex:
+                    eq = f"<eq>{latex}</eq>"
+                    only_equations.append(eq)
+                    texts_and_equations.append(eq)
+        if not only_equations:
+            return text, []
+        import re as _re
+
+        if (
+            _re.sub(r"\s+", "", "".join(only_texts)).strip()
+            != _re.sub(r"\s+", "", text).strip()
+        ):
+            # cannot reconstruct the raw text — skip equation handling
+            return text, []
+        output_text = text[:]
+        init_i = 0
+        for i_substr, substr in enumerate(texts_and_equations):
+            if not substr:
+                continue
+            if substr in output_text[init_i:]:
+                init_i += output_text[init_i:].find(substr) + len(substr)
+            else:
+                if i_substr > 0:
+                    output_text = (
+                        output_text[:init_i] + substr + output_text[init_i:]
+                    )
+                    init_i += len(substr)
+                else:
+                    output_text = substr + output_text
+        return output_text, only_equations
+
     # -- text elements (msword_backend.py:697-860) ----------------------------
     def _handle_paragraph(self, p: ET.Element) -> None:
         elements = self._paragraph_elements(p)
-        text = self._paragraph_text(p).strip()
+        raw_text = self._paragraph_text(p)
+        text, equations = self._equations_in_text(p, raw_text)
+        text = text.strip()
 
         p_style_id, p_level = self._label_and_level(p)
         numid, ilevel = self._numid_ilvl(p)
@@ -423,6 +473,41 @@ class _DocxWalker:
                 self._style_of(p)
             ) or p.find(f".//{W}numPr") is not None
             self._add_header(p_level, text, is_numbered_style)
+        elif equations:
+            level = self._get_level()
+            if not raw_text.strip() and text:
+                # standalone equation
+                self._add(
+                    DocxNode(
+                        "formula",
+                        text.replace("<eq>", "").replace("</eq>", ""),
+                    ),
+                    self.parents[level - 1],
+                )
+            else:
+                # inline equation: split around each formula
+                inline = self._add(
+                    DocxNode("inline", name="group"), self.parents[level - 1]
+                )
+                text_tmp = text
+                for eq in equations:
+                    if not text_tmp:
+                        break
+                    split_tmp = text_tmp.split(eq.strip(), 1)
+                    pre = split_tmp[0]
+                    text_tmp = "" if len(split_tmp) == 1 else split_tmp[1]
+                    if pre:
+                        inline.children.append(DocxNode("paragraph", pre))
+                    inline.children.append(
+                        DocxNode(
+                            "formula",
+                            eq.replace("<eq>", "").replace("</eq>", ""),
+                        )
+                    )
+                if text_tmp:
+                    inline.children.append(
+                        DocxNode("paragraph", text_tmp.strip())
+                    )
         else:
             # every other style is paragraph text (reference treats unknown
             # styles as text too, msword_backend.py:838-855)

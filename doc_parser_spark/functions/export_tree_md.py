@@ -34,6 +34,8 @@ def _esc(text: str) -> str:
 
 
 def _fmt(n: DocxNode) -> str:
+    if n.label == "formula":
+        return f"${n.text}$"  # inline math, verbatim
     t = _esc(n.text)
     if n.bold and n.italic:
         t = f"***{t}***"

@@ -4,11 +4,9 @@ Runs our stdlib docx extractor on /root/reference/tests/data/docx/*.docx and
 compares the flat item stream (label + text, table dims) against the
 reference's indented-text exports — 11/12 fixtures item-exact.
 
-``equations.docx`` is excluded: its groundtruth contains LaTeX produced by
-the dwml oMath2Latex converter (an external library the reference shells
-into, msword_backend.py:649); formula conversion is out of scope like the
-other external-model stages (P2/P5). Everything else in that file (text
-around equations) extracts fine.
+ALL 12 fixtures are item-exact and markdown byte-exact, including
+``equations.docx`` via the from-scratch OMML→LaTeX converter
+(functions/omath.py) replacing the external dwml dependency.
 """
 
 from __future__ import annotations
@@ -23,7 +21,7 @@ from tests.test_reference_fixtures import _parse_itxt
 DOCX_DIR = Path("/root/reference/tests/data/docx")
 GT_DIR = Path("/root/reference/tests/data/groundtruth/docling_v2")
 
-EXCLUDED = {"equations"}  # documented above
+EXCLUDED: set[str] = set()
 
 FIXTURES = sorted(
     p.stem
