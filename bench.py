@@ -308,6 +308,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--extract-level":
-        print(json.dumps(_bench_extraction_inprocess(sys.argv[3], int(sys.argv[2]))))
+        _runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        print(
+            json.dumps(
+                _bench_extraction_inprocess(
+                    sys.argv[3], int(sys.argv[2]), runs=_runs
+                )
+            )
+        )
     else:
         main()

@@ -23,9 +23,10 @@ Semantics ported (file:line cites against the reference):
   (_handle_tables, :1061-1124)
 - textboxes: w:txbxContent / VML paragraphs under a ``textbox`` group
   (_handle_textbox_content, :568-633)
-- equations are NOT ported (the reference shells into dwml's oMath2Latex;
-  no such lib here) — math runs contribute no text, like python-docx's
-  paragraph.text
+- equations ARE ported: OMML (m:oMath) runs convert to LaTeX via the
+  from-scratch converter in functions/omath.py (replacing the reference's
+  dwml oMath2Latex dependency) — byte-exact vs the equations.docx
+  groundtruth; see ``_paragraph_elements`` below
 
 Output is a docling-shaped node tree; ``flat_items`` yields the
 (label, text) stream the reference's indented-text export prints, and

@@ -3,11 +3,13 @@ reference's PatentUsptoIce parser
 (/root/reference/docling/backend/xml/uspto_backend.py:167-501) plus its
 CALS/OASIS XmlTable (:1400-1695), on xml.etree instead of xml.sax + bs4.
 
-Supported: Patent Grant / Application Full Text Data XML v4.x ICE
-(us-patent-grant / us-patent-application roots, 2005+). The three legacy
-DTD families (grant v2.5, application v1.x, the pre-2001 APS text format)
-raise ValueError — documented subset; both of the reference's ICE fixtures
-are covered with item parity.
+Supported: ALL FOUR reference grammars — Patent Grant / Application Full
+Text Data XML v4.x ICE (us-patent-grant / us-patent-application roots,
+2005+, ``_IceHandler``), Application v1.x DTD
+(patent-application-publication root, ``_AppV1Handler``), Grant v2.5 DTD
+(PATDOC root, ``_GrantV2Handler``) and the pre-2001 APS key-coded text
+format (``_parse_aps``). All five reference fixtures are byte-exact
+(tests/test_reference_uspto.py).
 
 Ported semantics:
 - the SAX event stream is replayed from the ElementTree in document order,
@@ -120,7 +122,10 @@ _REGISTERED = {
 }
 
 _DOC_ROOTS = ("us-patent-application", "us-patent-grant")
-_TABLE_BLOCK_RE = re.compile(r"^(<table .*?</table>)", re.MULTILINE | re.DOTALL)
+# matches every <table> element regardless of attributes or line position —
+# a line-anchored '<table ' pattern would silently empty EVERY table in the
+# document when one inline/attribute-less <table> made the counts diverge
+_TABLE_BLOCK_RE = re.compile(r"(<table[ >].*?</table>)", re.DOTALL)
 _WS_RE = re.compile(r"\s+")
 
 
@@ -727,13 +732,14 @@ def parse_uspto(xml_text: str | bytes) -> DocxNode:
         )
         for t in _TABLE_BLOCK_RE.findall(original)
     ]
-    if len(raw_tables) == len(handler.tables):
-        for node, raw in zip(handler.tables, raw_tables):
-            try:
-                grid = _parse_cals_table(ET.fromstring(raw))
-            except ET.ParseError:
-                grid = None
-            node.grid = grid or []
+    # per-index fill up to the shorter list (NOT all-or-nothing: one
+    # unmatched block must not empty every other table in the document)
+    for node, raw in zip(handler.tables, raw_tables):
+        try:
+            grid = _parse_cals_table(ET.fromstring(raw))
+        except ET.ParseError:
+            grid = None
+        node.grid = grid or []
     return handler.root
 
 

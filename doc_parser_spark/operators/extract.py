@@ -97,8 +97,15 @@ MAX_PARSE_BYTES = 4 * 1024 * 1024
 import re as _re
 
 # full-document markers (the reference's own HTML probe shape,
-# document.py:440-477); an HTML payload WITHOUT one is a routed fragment
-_FULLDOC_RE = _re.compile(r"<!doctype\s+html|<html|<head|<body")
+# document.py:440-477); an HTML payload WITHOUT one is a routed fragment.
+# Tag names are anchored (``[\s>]``) so a fragment starting with <header>
+# (a routed block tag) is NOT mistaken for a full document.
+_FULLDOC_RE = _re.compile(r"<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]")
+
+# binary-payload probe: C0 control bytes (minus \t\n\r) in the head mean the
+# payload is not text — a plain-text fallback on compressed/binary bytes is
+# worse than reporting the failure
+_BINARY_RE = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
 def _extract_one(content_type: str, text: str, boilerplate_mode: str):
@@ -115,20 +122,31 @@ def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     try:
         if extractor is extract_html:
             extracted, spans = extract_html(text, boilerplate_mode)
-            if (
-                not extracted
-                and text.strip()
-                and not _FULLDOC_RE.search(text[:1024].lower())
-            ):
-                # fragment whose walk produced nothing (e.g. bare <img>):
-                # demote to partial with the plain-text content instead of
-                # reporting an empty extraction as success
-                extracted, spans = extract_plain(text)
-                return extracted, spans, STATUS_PARTIAL
         else:
             extracted, spans = extractor(text)
+        if not extracted and text.strip() and extractor is not extract_plain:
+            # Non-whitespace input that extracted to nothing is never a
+            # plain `success` (round-2 verdict: the HTML-fragment demotion
+            # generalized to every backend). Two legitimate empty-success
+            # carve-outs remain: a FULL html document whose body is
+            # genuinely empty/boilerplate-stripped, and a well-formed
+            # %PDF-SIM cell dump whose rows are all page furniture.
+            if extractor is extract_html and _FULLDOC_RE.search(
+                text[:1024].lower()
+            ):
+                return extracted, spans, STATUS_SUCCESS
+            if content_type == CT_PDF and text.startswith("%PDF-SIM"):
+                return extracted, spans, STATUS_SUCCESS
+            if _BINARY_RE.search(text[:4096]):
+                # binary payload (e.g. real %PDF bytes the decoder could
+                # not read): plain fallback would emit compressed garbage
+                return None, None, STATUS_FAILURE
+            extracted, spans = extract_plain(text)
+            return extracted, spans, STATUS_PARTIAL
         return extracted, spans, STATUS_SUCCESS
     except Exception:
+        if _BINARY_RE.search(text[:4096]):
+            return None, None, STATUS_FAILURE
         try:
             extracted, spans = extract_plain(text)
             return extracted, spans, STATUS_PARTIAL

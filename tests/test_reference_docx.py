@@ -2,7 +2,7 @@
 
 Runs our stdlib docx extractor on /root/reference/tests/data/docx/*.docx and
 compares the flat item stream (label + text, table dims) against the
-reference's indented-text exports — 11/12 fixtures item-exact.
+reference's indented-text exports.
 
 ALL 12 fixtures are item-exact and markdown byte-exact, including
 ``equations.docx`` via the from-scratch OMML→LaTeX converter
