@@ -1,7 +1,13 @@
-"""PDF-layout-text extraction over synthetic cell dumps.
+"""PDF-layout-text extraction — real ``%PDF`` bytes AND synthetic cell dumps.
 
-The transcript corpus carries "pdf-ish" payloads (FIXTURES.md §1.3): a
-deterministic text encoding of extracted PDF text cells. Format:
+Two cell sources feed ONE shared merge/furniture/paragraph pipeline:
+
+1. real ``%PDF-1.x`` payloads decode through the from-scratch stdlib
+   decoder in ``functions/pdf_decode.py`` (object/xref parser, FlateDecode,
+   content-stream text interpreter) into positioned text cells;
+2. the transcript corpus also carries synthetic "pdf-ish" payloads
+   (FIXTURES.md §1.3): a deterministic text encoding of extracted PDF text
+   cells. Format:
 
     %PDF-SIM
     #page <page_no> <width> <height>
@@ -39,6 +45,7 @@ from doc_parser_spark.datamodel import (
     LABEL_PAGE_HEADER,
     LABEL_PARAGRAPH,
 )
+from doc_parser_spark.functions.pdf_decode import decode_pdf_pages
 from doc_parser_spark.functions.sanitize import sanitize_text
 
 PDF_MARKER = "%PDF-SIM"
@@ -143,13 +150,34 @@ def _merge_group(group: list[Cell]) -> Cell:
     )
 
 
+def _cells_from_payload(
+    payload: str | bytes,
+) -> tuple[list[Cell], dict[int, tuple[float, float]]]:
+    """Dispatch: %PDF-SIM text dump vs real %PDF bytes (str payloads are
+    assumed latin-1 round-trips of the original bytes — the lossless way a
+    binary column lands in a text field; a lossy utf-8 payload fails in
+    zlib and surfaces as a PdfError → parse failure upstream)."""
+    if isinstance(payload, bytes):
+        raw_cells, pages = decode_pdf_pages(payload)
+        return [Cell(*c) for c in raw_cells], pages
+    if payload.startswith(PDF_MARKER):
+        return parse_cell_dump(payload)
+    try:
+        data = payload.encode("latin-1")
+    except UnicodeEncodeError:
+        data = payload.encode("utf-8")
+    raw_cells, pages = decode_pdf_pages(data)
+    return [Cell(*c) for c in raw_cells], pages
+
+
 def extract_pdfish(
-    payload: str,
+    payload: str | bytes,
 ) -> tuple[str, list[tuple[int, int, str, int]]]:
-    """cell dump → (extracted_text, spans). Furniture rows (page header /
-    footer bands) are excluded from the text; body paragraphs are
+    """PDF payload (real bytes, latin-1 str of real bytes, or %PDF-SIM cell
+    dump) → (extracted_text, spans). Furniture rows (page header / footer
+    bands) are excluded from the text; body paragraphs are
     sanitize_text-joined lines."""
-    cells, pages = parse_cell_dump(payload)
+    cells, pages = _cells_from_payload(payload)
     if not cells:
         return "", []
 

@@ -115,7 +115,14 @@ def _extract_one(content_type: str, text: str, boilerplate_mode: str):
     """
     if content_type == CT_EMPTY:
         return "", [], STATUS_SKIPPED
-    if len(text) > MAX_PARSE_BYTES and content_type != CT_PLAIN:
+    if (
+        len(text) > MAX_PARSE_BYTES
+        and content_type != CT_PLAIN
+        and content_type != CT_PDF
+    ):
+        # CT_PDF is exempt: a plain-text "fallback" over binary PDF bytes is
+        # garbage, and the real decoder is lazy (xref-driven) with its own
+        # glyph/page caps — oversized PDFs parse or fail, never fall back
         extracted, spans = extract_plain(text)
         return extracted, spans, STATUS_PARTIAL
     extractor = _EXTRACTORS.get(content_type, extract_plain)

@@ -2570,3 +2570,64 @@ FROM documents
 
 QUERIES["b13_uspto_extract"] = q_b13_uspto_extract
 ORACLES["b13_uspto_extract"] = ORACLE_B13_USPTO
+
+
+# ===========================================================================
+# batch 24 — REAL %PDF decoding (B4-class): the payload is genuine PDF bytes
+# (classic xref, FlateDecode content streams, WinAnsi Type1 font) built
+# deterministically inside the Arrow batch by sources/synth_pdf.py, carried
+# through the text column as its lossless latin-1 decoding — the way binary
+# payloads land in transcript turns. The whole sniff -> CT_PDF -> stdlib
+# decoder -> cell merge -> furniture strip -> paragraph path is oracled by
+# construction (header/footer band lines MUST be absent). The decoder is
+# additionally parity-tested against the reference's own PDF fixtures
+# (tests/test_reference_pdf.py).
+# ===========================================================================
+def q_b4_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def gen(batches):
+        from doc_parser_spark.sources.synth_pdf import build_report_pdf
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["doc_id"].astype("str"),
+                    "turn_idx": pd.Series(
+                        [0] * len(pdf), index=pdf.index, dtype="int32"
+                    ),
+                    "text": [
+                        build_report_pdf(int(i)).decode("latin-1")
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    transcripts = docs.mapInPandas(
+        gen, schema="conv_id string, turn_idx int, text string"
+    )
+    out = extract_turns(transcripts, route_partitions=8)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "content_type",
+        "parse_status",
+        "extracted_text",
+    )
+
+
+ORACLE_B4_PDF = """
+SELECT doc_id::BIGINT AS doc_id, 'pdf' AS content_type,
+       'success' AS parse_status,
+       'Report ' || doc_id || chr(10) || chr(10)
+         || 'alpha bravo ' || doc_id || ' charlie delta' || chr(10) || chr(10)
+         || 'sample body for document ' || doc_id || ' with score '
+         || (doc_id % 89) || chr(10) || chr(10)
+         || 'Appendix ' || doc_id || chr(10) || chr(10)
+         || 'annex line ' || doc_id AS extracted_text
+FROM documents
+"""
+
+QUERIES["b4_pdf_real"] = q_b4_pdf_real
+ORACLES["b4_pdf_real"] = ORACLE_B4_PDF

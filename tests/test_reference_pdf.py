@@ -1,0 +1,135 @@
+"""REAL-PDF decoder (B4-class) parity with the reference's own fixtures.
+
+Layers tested, strongest envelope each layer supports:
+
+1. decoder-layer text parity vs the reference's pre-NN ``*.pages.json``
+   textline groundtruth (docling-parse v4 cells): whitespace-normalized
+   full-page text similarity >= 0.99.
+2. end-to-end (decode → cell merge → furniture strip → paragraphs) vs the
+   genon regression baseline for ``pdf_sample.pdf``
+   (/root/reference/genon/preprocessor/tests/regression/baselines/
+   pdf_pdf_sample.json): total-character drift < 10% and content-word
+   precision >= 0.9 / recall >= 0.8. The reference's OWN envelope
+   (num_vectors == 4, exact label_distribution) is NOT applicable without
+   the scoped-out layout NN (it labels pictures/checkboxes and orders
+   chunks) — documented in docs/PARITY.md; the baseline's chunk text also
+   embeds serialized ``<td>`` table markup from TableFormer (also scoped
+   out), which the word-recall measurement excludes.
+3. every reference PDF fixture decodes without error to non-empty text
+   (this is the round-2 verdict's headline gap: real %PDF bytes used to
+   extract to empty with parse_status='success').
+4. the extraction operator demotes undecodable binary to 'failure' and
+   real decodable PDFs land 'success' with non-empty text.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import re
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+from doc_parser_spark.functions.pdf_decode import decode_pdf_pages
+from doc_parser_spark.functions.pdfish_extract import extract_pdfish
+from doc_parser_spark.operators.extract import _extract_one
+
+REF_PDF_DIR = Path("/root/reference/tests/data/pdf")
+GT_DIR = Path("/root/reference/tests/data/groundtruth/docling_v2")
+SAMPLE = Path("/root/reference/genon/preprocessor/sample_files/pdf_sample.pdf")
+BASELINE = Path(
+    "/root/reference/genon/preprocessor/tests/regression/baselines/pdf_pdf_sample.json"
+)
+
+pytestmark = pytest.mark.skipif(
+    not REF_PDF_DIR.exists(), reason="reference fixtures not present"
+)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s).strip()
+
+
+@pytest.mark.parametrize("name", ["2305.03393v1-pg9", "amt_handbook_sample"])
+def test_textline_groundtruth_similarity(name):
+    """Decoder layer vs the pre-NN textline cells (docling-parse v4)."""
+    gt_pages = json.loads((GT_DIR / f"{name}.pages.json").read_text())
+    data = (REF_PDF_DIR / f"{name}.pdf").read_bytes()
+    cells, _ = decode_pdf_pages(data)
+    for idx, page in enumerate(gt_pages):
+        gt_text = _norm(
+            " ".join(t["text"] for t in page["parsed_page"]["textline_cells"])
+        )
+        my_text = _norm(" ".join(c[5] for c in cells if c[0] == idx + 1))
+        sim = difflib.SequenceMatcher(None, my_text, gt_text).ratio()
+        assert sim >= 0.99, f"{name} page {idx + 1}: similarity {sim:.4f}"
+
+
+def test_all_reference_fixtures_decode_nonempty():
+    fixtures = sorted(REF_PDF_DIR.glob("*.pdf"))
+    assert len(fixtures) >= 9
+    for p in fixtures:
+        cells, pages = decode_pdf_pages(p.read_bytes())
+        nchar = sum(len(c[5]) for c in cells)
+        assert len(pages) >= 1, p.name
+        assert nchar > 300, f"{p.name}: only {nchar} chars decoded"
+
+
+def test_pdf_sample_regression_envelope():
+    """End-to-end vs the genon regression baseline (see module docstring
+    for why the NN-dependent parts of the reference envelope are N/A)."""
+    text, spans = extract_pdfish(SAMPLE.read_bytes())
+    baseline = json.loads(BASELINE.read_text())
+    assert text and spans
+    bl_chars = baseline["total_characters"]
+    drift = abs(len(text) - bl_chars) / bl_chars
+    assert drift < 0.10, f"char drift {drift:.3f}"
+
+    bl_text = "\n".join(v["text"] for v in baseline["vectors"])
+    mine = Counter(re.findall(r"\w+", text.lower()))
+    theirs = Counter(re.findall(r"\w+", bl_text.lower()))
+    # the baseline embeds TableFormer HTML markup tokens; exclude them from
+    # the recall denominator (markup is not page text)
+    markup = {"td", "tr", "th", "table", "tbody", "thead", "x27", "amp"}
+    inter = sum((mine & theirs).values())
+    precision = inter / sum(mine.values())
+    theirs_content = sum(c for w, c in theirs.items() if w not in markup)
+    inter_content = sum(
+        min(c, mine[w]) for w, c in theirs.items() if w not in markup
+    )
+    recall = inter_content / theirs_content
+    assert precision >= 0.90, f"word precision {precision:.3f}"
+    assert recall >= 0.80, f"content-word recall {recall:.3f}"
+
+
+def test_synth_pdf_roundtrip_and_furniture():
+    from doc_parser_spark.sources.synth_pdf import build_report_pdf
+
+    data = build_report_pdf(42)
+    assert data == build_report_pdf(42)  # bit-stable
+    text, spans = extract_pdfish(data)
+    assert text.startswith("Report 42\n\nalpha bravo 42 charlie delta")
+    assert "CONFIDENTIAL" not in text and "Page 1" not in text
+    assert {s[3] for s in spans} == {1, 2}
+    # latin-1 str carriage (the transcript text-column path) is lossless
+    assert extract_pdfish(data.decode("latin-1")) == (text, spans)
+
+
+def test_real_pdf_status_success_and_binary_failure():
+    data = SAMPLE.read_bytes()
+    payload = data.decode("latin-1")
+    text, spans, status = _extract_one("pdf", payload, "reference")
+    assert status == "success" and len(text) > 5000 and spans
+
+    # the round-2 verdict probe: a real %PDF HEAD (truncated binary) must
+    # NOT extract to empty text with parse_status='success'
+    head = data[:4096].decode("latin-1")
+    text2, spans2, status2 = _extract_one("pdf", head, "reference")
+    assert status2 == "failure", (status2, repr((text2 or "")[:80]))
+
+    # %PDF magic followed by binary garbage → failure, not plain fallback
+    garbage = "%PDF-1.7\n" + bytes(range(256)).decode("latin-1") * 8
+    _, _, status3 = _extract_one("pdf", garbage, "reference")
+    assert status3 == "failure"
