@@ -23,6 +23,7 @@ from doc_parser_spark.datamodel import (
     STATUS_SUCCESS,
 )
 from doc_parser_spark.functions.docx_extract import extract_docx
+from doc_parser_spark.functions.hwpx_extract import extract_hwpx
 from doc_parser_spark.functions.pptx_extract import extract_pptx
 from doc_parser_spark.functions.xlsx_extract import extract_xlsx
 
@@ -53,6 +54,7 @@ _MARKERS = [
     ("word/document.xml", "docx", extract_docx),
     ("xl/workbook.xml", "xlsx", extract_xlsx),
     ("ppt/presentation.xml", "pptx", extract_pptx),
+    ("Contents/section0.xml", "hwpx", extract_hwpx),
 ]
 
 

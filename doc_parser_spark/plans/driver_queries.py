@@ -2631,3 +2631,35 @@ FROM documents
 
 QUERIES["b4_pdf_real"] = q_b4_pdf_real
 ORACLES["b4_pdf_real"] = ORACLE_B4_PDF
+
+
+# ===========================================================================
+# batch 25 — HWPX extraction (B14) on the binary office surface: real
+# OWPML zip payloads built deterministically in the Arrow batch
+# (sources/synth_office.py build_hwpx), oracled by construction. The
+# backend is additionally parity-tested against the reference's own
+# regression baseline (tests/test_reference_hwpx.py: exact 587-item label
+# sequence vs hwpx_sample.json).
+# ===========================================================================
+def _build_hwpx_payload(doc_id: int, text: str) -> bytes:
+    from doc_parser_spark.sources.synth_office import build_hwpx
+
+    return build_hwpx(doc_id, text or "")
+
+
+q_b14_hwpx_extract = _office_query(_build_hwpx_payload)
+
+ORACLE_B14_HWPX = """
+SELECT doc_id::BIGINT AS doc_id, 'hwpx' AS doc_kind,
+       'success' AS parse_status,
+       '1. Report ' || doc_id || chr(10) || chr(10)
+         || 'body: ' || text || chr(10) || chr(10)
+         || '□ alpha ' || doc_id || chr(10) || chr(10)
+         || '| name | score |' || chr(10) || '|---|---|' || chr(10)
+         || '| doc' || doc_id || ' | ' || (doc_id % 97) || ' |'
+         AS extracted_text
+FROM documents
+"""
+
+QUERIES["b14_hwpx_extract"] = q_b14_hwpx_extract
+ORACLES["b14_hwpx_extract"] = ORACLE_B14_HWPX

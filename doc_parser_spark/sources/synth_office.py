@@ -123,3 +123,50 @@ def build_pptx(title: str, bullets: list[str]) -> bytes:
             "ppt/slides/slide1.xml": slide,
         }
     )
+
+
+def build_hwpx(doc_id: int, body: str) -> bytes:
+    """Minimal OWPML (HWPX) document: a numbered section header, a body
+    paragraph, a □ list item, and a 2×2 table — one exercise of each
+    hwpx_extract path that the DuckDB oracle can reproduce by construction."""
+    hp = "http://www.hancom.co.kr/hwpml/2011/paragraph"
+
+    def p(inner: str) -> str:
+        return f"<hp:p>{inner}</hp:p>"
+
+    def run_t(text: str) -> str:
+        return f"<hp:run><hp:t>{_xml_escape(text)}</hp:t></hp:run>"
+
+    def tc(r: int, c: int, text: str) -> str:
+        return (
+            f"<hp:tc><hp:subList><hp:p><hp:run><hp:t>{_xml_escape(text)}"
+            f"</hp:t></hp:run></hp:p></hp:subList>"
+            f'<hp:cellAddr rowAddr="{r}" colAddr="{c}"/>'
+            f'<hp:cellSpan rowSpan="1" colSpan="1"/></hp:tc>'
+        )
+
+    table = (
+        '<hp:run><hp:tbl rowCnt="2" colCnt="2"><hp:tr>'
+        + tc(0, 0, "name")
+        + tc(0, 1, "score")
+        + "</hp:tr><hp:tr>"
+        + tc(1, 0, f"doc{doc_id}")
+        + tc(1, 1, str(doc_id % 97))
+        + "</hp:tr></hp:tbl></hp:run>"
+    )
+    section = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<hs:sec xmlns:hs="http://www.hancom.co.kr/hwpml/2011/section" '
+        f'xmlns:hp="{hp}">'
+        + p(run_t(f"1. Report {doc_id}"))
+        + p(run_t(f"body: {body}"))
+        + p(run_t(f"□ alpha {doc_id}"))
+        + p(table)
+        + "</hs:sec>"
+    )
+    return _zip(
+        {
+            "mimetype": "application/hwp+zip",
+            "Contents/section0.xml": section,
+        }
+    )
