@@ -24,12 +24,22 @@ _WS_RUN_RE = re.compile(r"\s+")
 
 def _esc(text: str) -> str:
     # the tree serializer html-escapes angle brackets too (JATS groundtruths
-    # show &lt;/&gt; in body text AND table cells); formulas stay verbatim
-    return (
-        text.replace("&", "&amp;")
-        .replace("<", "&lt;")
-        .replace(">", "&gt;")
-        .replace("_", "\\_")
+    # show &lt;/&gt; in body text AND table cells); $$...$$ formula spans
+    # stay verbatim (pnas: '$$ {\\mathrm{_{{F}}^{{2}}}} $$' keeps its raw
+    # underscores while 'RRID:AB_262044' in elife cells is escaped)
+    def esc(t: str) -> str:
+        return (
+            t.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace("_", "\\_")
+        )
+
+    if "$$" not in text:
+        return esc(text)
+    # even split-indexes are outside formula spans, odd ones inside
+    return "$$".join(
+        p if i % 2 else esc(p) for i, p in enumerate(text.split("$$"))
     )
 
 
@@ -99,13 +109,20 @@ def export_tree_markdown(root: DocxNode) -> str:
                 if caption is not None and caption.text:
                     blocks.append(_esc(caption.text))
                 if child.grid:
-                    # cell whitespace RUNS (incl. unicode spaces/newlines)
-                    # collapse to one ASCII space without stripping; widths
-                    # are computed on that text; escaping happens on the
-                    # rendered block (the groundtruth tables keep pre-escape
-                    # widths around escaped &lt;/&gt; content)
+                    # cell whitespace rules the groundtruths encode:
+                    # LEADING whitespace drops entirely, TRAILING newlines
+                    # drop but trailing literal spaces survive into the
+                    # column width (pnas 'Males/females ' pads one wider),
+                    # and interior newlines become spaces PER CHARACTER
+                    # ('\n\n' → double space, pnas 'μ F  F'); widths are
+                    # computed on that text; escaping happens on the
+                    # rendered block (the groundtruth tables keep
+                    # pre-escape widths around escaped &lt;/&gt; content)
                     grid = [
-                        [_WS_RUN_RE.sub(" ", c).lstrip() for c in row]
+                        [
+                            c.lstrip().rstrip("\n").replace("\n", " ")
+                            for c in row
+                        ]
                         for row in child.grid
                     ]
                     blocks.append(_esc(render_md_table(grid)))

@@ -45,6 +45,29 @@ def _get_text(node: ET.Element) -> str:
     return text
 
 
+def _replace_inline_formulas(root: ET.Element) -> None:
+    """In-place: each <inline-formula> under a table becomes the plain text
+    '$$math$$' when its text splits on '$$' into exactly 3 parts (the
+    reference's html_backend.py:487-492 rule); otherwise it is flattened to
+    its full text (bs4 .text keeps it)."""
+    parents = {c: p for p in root.iter() for c in p}
+    for f in [e for e in root.iter() if e.tag == "inline-formula"]:
+        txt = "".join(f.itertext())
+        parts = txt.split("$$")
+        repl = f"$${parts[1]}$$" if len(parts) == 3 else txt
+        parent = parents.get(f)
+        if parent is None:
+            continue
+        idx = list(parent).index(f)
+        tail = f.tail or ""
+        if idx == 0:
+            parent.text = (parent.text or "") + repl + tail
+        else:
+            prev = list(parent)[idx - 1]
+            prev.tail = (prev.tail or "") + repl + tail
+        parent.remove(f)
+
+
 class _Jats:
     def __init__(self, tree: ET.Element):
         self.tree = tree
@@ -257,6 +280,11 @@ class _Jats:
             pic.children.append(DocxNode("caption", fig_text))
 
     def _add_table(self, parent: DocxNode, node: ET.Element) -> None:
+        """table-wrap → caption + grid (jats_backend.py:535-599). Inline
+        formulas inside cells follow html_backend.py:487-492: when the
+        formula text splits on '$$' into exactly three parts (the tex-math
+        minimal-document wrapper), the element is replaced by '$$math$$';
+        otherwise its full text stays."""
         from doc_parser_spark.functions.html_extract import parse_table_grid
         from doc_parser_spark.functions.htmldom import parse_html
 
@@ -265,6 +293,7 @@ class _Jats:
             content = node.find("alternatives/table")
         grid = None
         if content is not None:
+            _replace_inline_formulas(content)
             dom = parse_html(ET.tostring(content, encoding="unicode"))
             table_el = dom.find("table")
             if table_el is not None:

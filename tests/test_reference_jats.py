@@ -69,17 +69,14 @@ def test_extract_jats_surface():
         assert 0 <= s < e <= len(text)
 
 
-MD_EXACT = [n for n in FIXTURES if n != "pnas_sample.xml"]
-
-
-@pytest.mark.parametrize("name", MD_EXACT)
+@pytest.mark.parametrize("name", FIXTURES)
 def test_jats_markdown_parity(name):
-    """Byte-exact markdown vs the reference's own .xml.md goldens (section
-    depth ladder, $$ formulas, caption-before-item, post-render escaping
-    with pre-escape table widths). pnas_sample is excluded: one of its
-    tables mixes <td/> + <hr/> rows + colspans where our grid fill and
-    bs4's differ by a single column width — items and text are identical
-    (itxt parity covers it)."""
+    """Byte-exact markdown vs the reference's own .xml.md goldens — ALL
+    FIVE fixtures (section depth ladder, $$ formulas, inline-formula
+    replacement inside table cells, caption-before-item, post-render
+    escaping with pre-escape table widths, and the cell edge-whitespace
+    rules: leading drops, trailing newlines drop, trailing literal spaces
+    pad the column)."""
     from doc_parser_spark.functions.export_tree_md import export_tree_markdown
 
     ours = export_tree_markdown(
