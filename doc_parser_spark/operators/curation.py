@@ -1,0 +1,177 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, deterministic stratified sampling, and
+token-budget sequence packing.
+
+These complement the dedup/similarity layer (operators/dedup.py,
+operators/similarity.py) with the remaining steps a pretraining data
+pipeline runs between "extracted text" and "training sequences".
+
+All computation is JVM-side built-in expressions — no Python UDFs.
+
+Scale notes (100 TB):
+- ``decontaminate_ngrams``: the benchmark side (an eval set: thousands of
+  documents, not billions) is exploded to distinct n-grams and BROADCAST;
+  the corpus side explodes n-grams map-side and probes the broadcast hash
+  table without shuffling, then reduces to one light (id, hits) row per
+  document — the only exchange carries two small columns, with map-side
+  partial aggregation. The corpus text never rides a shuffle.
+- ``stratified_sample`` is 100% row-local (zero shuffle): the keep/drop
+  decision is a deterministic hash of (stratum, id), so re-runs, retries
+  and resumes pick the identical sample without coordination — exactly the
+  property a resumable 10^12-row job needs. No per-partition RNG state.
+- ``pack_sequences`` shards the corpus by hash before the running-sum
+  window, so no window partition exceeds corpus/n_shards rows. Packing
+  imposes no semantic grouping, so sharding is free parallelism — the
+  alternative (one global ORDER BY window) would serialize 100 TB through
+  a single task. One exchange on the shard key, rows carry only
+  (id, token_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_parser_spark.operators.dedup import shingle_expr
+
+DEFAULT_DECONTAM_N = 5
+DEFAULT_PACK_BUDGET = 2048
+DEFAULT_PACK_SHARDS = 16
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_DECONTAM_N,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark
+    set (the GPT-3/Llama eval-decontamination rule: a training document is
+    contaminated when any of its n-grams appears verbatim in an eval
+    document).
+
+    Returns one row per corpus document: (id_col, n_hits, contaminated)
+    where ``n_hits`` counts the document's DISTINCT n-grams found in the
+    benchmark and ``contaminated`` is ``n_hits > 0``. Documents shorter
+    than ``n`` words have no n-grams and are never contaminated.
+
+    Shape: benchmark n-grams are distinct-ed and broadcast; the corpus is
+    exploded map-side (explode_outer keeps short documents), probed against
+    the broadcast, and reduced by id. Only (id, hit) rows shuffle.
+    """
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(F.expr(shingle_expr(text_col, n))).alias("ngram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.expr(shingle_expr(text_col, n))).alias("ngram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = doc_grams.join(F.broadcast(bench_grams), "ngram", "left")
+    return probed.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0).alias("contaminated"),
+    )
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """4-hex-digit keep threshold for ``stratified_sample``'s lexicographic
+    compare. rate >= 1.0 must keep EVERYTHING, but ``'10000'`` would compare
+    as '1...' < most digests — use a sentinel above every hex digit."""
+    return "zzzz" if rate >= 1.0 else f"{int(rate * 0x10000):04x}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling with loss-reweighting weights.
+
+    Keeps a row iff the first 4 hex digits of ``md5(stratum || '|' || id)``
+    fall below ``rate * 0x10000`` — a pure function of the row, so the
+    sample is identical across retries/resumes/engines (the lexicographic
+    compare on fixed-width lowercase hex is the uniform(0,1) draw; no RNG,
+    no seed plumbing, portable to any engine with md5). Adds:
+
+    - ``sampled``: the keep decision (rows are flagged, not filtered, so
+      callers can audit rates; filter on it downstream).
+    - ``weight``: 1/rate for kept rows (inverse-propensity weight so
+      downsampled strata keep their expected loss contribution), 0.0 for
+      dropped rows.
+
+    Row-local, zero shuffle.
+    """
+    u_hex = F.substring(
+        F.md5(F.concat_ws("|", F.col(stratum_col), F.col(id_col).cast("string"))),
+        1,
+        4,
+    )
+    thr = F.lit(sample_threshold_hex(default_rate))
+    w = F.lit(round(1.0 / default_rate, 4) if default_rate > 0 else 0.0)
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, sample_threshold_hex(rate)
+        ).otherwise(thr)
+        w = F.when(
+            F.col(stratum_col) == stratum, round(1.0 / rate, 4) if rate > 0 else 0.0
+        ).otherwise(w)
+    sampled = u_hex < thr
+    return df.withColumn("sampled", sampled).withColumn(
+        "weight", F.when(sampled, w).otherwise(F.lit(0.0))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = DEFAULT_PACK_BUDGET,
+    n_shards: int = DEFAULT_PACK_SHARDS,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (concat-and-chunk packing: documents are laid end to end in
+    deterministic (shard, id) order and cut every ``budget`` tokens —
+    the standard pretraining packing scheme; a document straddling a cut
+    belongs to the sequence where it starts and is flagged).
+
+    Output per document: shard, whitespace token count, ``seq_id`` (the
+    sequence its first token lands in, globally unique as
+    shard * 2^32 + local index), ``offset_in_seq`` (token offset of the
+    document inside that sequence) and ``straddles`` (true when the
+    document crosses the budget boundary and the trainer must split it).
+
+    Shape: one exchange on ``pmod(hash-ish id, n_shards)``; the running
+    sum is a per-shard ordered window, so window partition size is bounded
+    by corpus/n_shards and no global sort exists. Raise ``n_shards`` with
+    cluster size — packing needs no semantic locality.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tokens").over(win)
+    start = cum - F.col("tokens")
+    local_seq = F.floor(start / budget)
+    return toks.select(
+        F.col(id_col),
+        "shard",
+        F.col("tokens").cast("int").alias("tokens"),
+        (F.col("shard").cast("long") * F.lit(2**32) + local_seq)
+        .cast("long")
+        .alias("seq_id"),
+        (start - local_seq * budget).cast("int").alias("offset_in_seq"),
+        (F.floor((cum - 1) / budget) > local_seq).alias("straddles"),
+    )

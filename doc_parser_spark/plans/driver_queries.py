@@ -2663,3 +2663,144 @@ FROM documents
 
 QUERIES["b14_hwpx_extract"] = q_b14_hwpx_extract
 ORACLES["b14_hwpx_extract"] = ORACLE_B14_HWPX
+
+
+# ===========================================================================
+# batch 26 — corpus curation: benchmark decontamination, deterministic
+# stratified sampling, token-budget sequence packing (operators/curation.py)
+# ===========================================================================
+from doc_parser_spark.operators.curation import (  # noqa: E402
+    decontaminate_ngrams,
+    pack_sequences,
+    sample_threshold_hex,
+    stratified_sample,
+)
+
+# contamination corpus: every doc_id % 7 == 3 doc carries a shared sentinel
+# sentence; doc 164 (% 41 == 0 AND % 7 == 3) puts that sentence in the
+# benchmark set, so the whole % 7 == 3 stratum is deterministically
+# contaminated on top of the benchmark docs' own-text hits.
+PAYLOAD_DECONTAM = (
+    "CASE WHEN doc_id % 7 = 3 THEN text || "
+    "' shared benchmark sentinel sentence appears here verbatim' "
+    "ELSE text END"
+)
+
+_SHINGLE5_SQL = (
+    "list_distinct([array_to_string(w[i:i+4], ' ') "
+    "for i in range(1, len(w) - 3)])"
+)
+
+
+def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(PAYLOAD_DECONTAM).alias("payload"),
+    )
+    bench = docs.where("doc_id % 41 = 0")
+    return decontaminate_ngrams(docs, bench, "doc_id", "payload", n=5)
+
+
+ORACLE_CURATE_DECONTAM = f"""
+WITH corpus AS (
+  SELECT doc_id::BIGINT AS doc_id, {PAYLOAD_DECONTAM} AS payload
+  FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLE5_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+), bl AS (
+  SELECT list(DISTINCT g.ngram) AS grams
+  FROM (SELECT unnest(shingles) AS ngram FROM sh WHERE doc_id % 41 = 0) g
+)
+SELECT doc_id,
+       len(list_intersect(sh.shingles, bl.grams))::INT AS n_hits,
+       len(list_intersect(sh.shingles, bl.grams)) > 0 AS contaminated
+FROM sh, bl
+"""
+
+
+# per-language sampling rates; zh is kept in full (rate-1.0 threshold path)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 1.0}
+
+
+def q_curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    out = stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES)
+    return out.select(
+        "doc_id", "lang", "sampled", F.round("weight", 4).alias("weight")
+    )
+
+
+def _rate_case_sql(fn) -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {fn(r)}" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE {fn(0.0)} END"
+
+
+ORACLE_CURATE_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         substring(md5(lang || '|' || doc_id), 1, 4)
+           < {_rate_case_sql(lambda r: "'" + sample_threshold_hex(r) + "'")}
+           AS sampled
+  FROM documents
+)
+SELECT doc_id, lang, sampled,
+       CASE WHEN sampled
+            THEN {_rate_case_sql(lambda r: round(1.0 / r, 4) if r > 0 else 0.0)}
+            ELSE 0.0 END AS weight
+FROM t
+"""
+
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return pack_sequences(
+        docs, "doc_id", "text", budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+ORACLE_CURATE_PACK = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, tokens::INT AS tokens,
+       (shard::BIGINT * 4294967296
+          + ((cum - tokens) // {PACK_BUDGET}))::BIGINT AS seq_id,
+       ((cum - tokens) % {PACK_BUDGET})::INT AS offset_in_seq,
+       ((cum - 1) // {PACK_BUDGET}) > ((cum - tokens) // {PACK_BUDGET})
+         AS straddles
+FROM c
+"""
+
+
+QUERIES.update(
+    {
+        "curate_decontaminate": q_curate_decontaminate,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_pack_sequences": q_curate_pack_sequences,
+    }
+)
+ORACLES.update(
+    {
+        "curate_decontaminate": ORACLE_CURATE_DECONTAM,
+        "curate_stratified_sample": ORACLE_CURATE_SAMPLE,
+        "curate_pack_sequences": ORACLE_CURATE_PACK,
+    }
+)
