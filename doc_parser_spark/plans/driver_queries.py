@@ -2804,3 +2804,64 @@ ORACLES.update(
         "curate_pack_sequences": ORACLE_CURATE_PACK,
     }
 )
+
+
+# ===========================================================================
+# batch 27 — 2-D bbox fixpoint at realistic page counts (round-2 verdict
+# stretch): same two-disjoint-y-band construction as batch 13, but spread
+# over 5 pages per user so the kernel's page-separation rule
+# (functions/bbox.py::_overlaps — boxes on different pages NEVER merge) is
+# oracled, not just unit-tested, and each applyInPandas group carries
+# multi-page box sets like a real document.
+# ===========================================================================
+def q_o3_bbox_merge_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.spans import merge_bboxes_2d
+
+    ev = _events(spark, sf_dir)
+    boxes = ev.select(
+        "user_id",
+        (F.col("event_id") % 5 + 1).cast("int").alias("page"),
+        F.lit("text").alias("btype"),
+        F.col("value").alias("l"),
+        ((F.col("event_id") % 2) * 100.0).alias("t"),
+        (F.col("value") + 10.0).alias("r"),
+        ((F.col("event_id") % 2) * 100.0 + 10.0).alias("b"),
+    )
+    merged = merge_bboxes_2d(boxes, ["user_id"], x_tolerance=1.0, y_tolerance=1.0)
+    return merged.groupBy(
+        "user_id", "page", (F.col("t") / 100.0).cast("int").alias("band")
+    ).agg(
+        F.count("*").alias("n_boxes"),
+        F.round(F.sum(F.col("r") - F.col("l")), 4).alias("total_w"),
+    )
+
+
+ORACLE_O3_BBOX_PAGES = """
+WITH boxes AS (
+  SELECT user_id, (event_id % 5 + 1)::INT AS page, (event_id % 2)::INT AS band,
+         value AS l, value + 10.0 AS r, event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, page, band, l, r, event_id,
+         CASE WHEN l > coalesce(max(r) OVER (PARTITION BY user_id, page, band
+              ORDER BY l, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1e308) + 1.0
+              THEN 1 ELSE 0 END AS new_island
+  FROM boxes
+), islands AS (
+  SELECT user_id, page, band, l, r,
+         sum(new_island) OVER (PARTITION BY user_id, page, band
+             ORDER BY l, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, page, band, island_id, min(l) AS ml, max(r) AS mr
+  FROM islands GROUP BY user_id, page, band, island_id
+)
+SELECT user_id, page, band, count(*) AS n_boxes,
+       round(sum(mr - ml), 4) AS total_w
+FROM merged GROUP BY user_id, page, band
+"""
+
+QUERIES["o3_bbox_merge_pages"] = q_o3_bbox_merge_pages
+ORACLES["o3_bbox_merge_pages"] = ORACLE_O3_BBOX_PAGES
