@@ -155,6 +155,16 @@ def _per_type_breakdown(transcripts_path: str, sample: int = 1500) -> dict:
         for t in texts:
             _extract_one(ct, t or "", "reference")
         out[ct] = round(len(texts) / (time.perf_counter() - t0), 1)
+
+    # real %PDF bytes (the B4 stdlib decoder), not in the transcript corpus:
+    # 200 distinct two-page synthetic PDFs via the latin-1 text-column path
+    from doc_parser_spark.sources.synth_pdf import build_report_pdf
+
+    payloads = [build_report_pdf(i).decode("latin-1") for i in range(200)]
+    t0 = time.perf_counter()
+    for t in payloads:
+        _extract_one("pdf", t, "reference")
+    out["pdf_real"] = round(len(payloads) / (time.perf_counter() - t0), 1)
     return out
 
 

@@ -133,3 +133,36 @@ def test_real_pdf_status_success_and_binary_failure():
     garbage = "%PDF-1.7\n" + bytes(range(256)).decode("latin-1") * 8
     _, _, status3 = _extract_one("pdf", garbage, "reference")
     assert status3 == "failure"
+
+
+def test_real_pdf_through_distributed_extract(spark):
+    """Real %PDF bytes (latin-1 text-column carriage) through the FULL
+    distributed operator — sniff routes them CT_PDF, the decoder runs
+    inside the Arrow batch, statuses and spans land correctly next to
+    non-PDF turns. This is the transcript-surface path the round-2 verdict
+    probe exercised one row at a time."""
+    from doc_parser_spark.operators.extract import extract_turns
+    from doc_parser_spark.sources.synth_pdf import build_report_pdf
+
+    rows = []
+    for i in range(8):
+        rows.append(("conv_pdf", i, build_report_pdf(i).decode("latin-1")))
+    rows.append(("conv_pdf", 8, "%PDF-1.7\n" + bytes(range(256)).decode("latin-1") * 8))
+    rows.append(("conv_pdf", 9, "plain paragraph text here."))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    out = {
+        r["turn_idx"]: r
+        for r in extract_turns(df, route_partitions=4).collect()
+    }
+    assert len(out) == 10
+    for i in range(8):
+        r = out[i]
+        assert r["content_type"] == "pdf" and r["parse_status"] == "success"
+        assert r["extracted_text"].startswith(f"Report {i}\n\n")
+        assert "CONFIDENTIAL" not in r["extracted_text"]
+        for s in r["spans"]:
+            assert r["extracted_text"][s["start"] : s["end"]].strip()
+    assert out[8]["parse_status"] == "failure"
+    assert out[9]["content_type"] == "plain"
+    assert out[9]["parse_status"] == "success"
