@@ -400,6 +400,11 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, list] = {}
+        # fonts are document-level objects referenced by every page; parsing
+        # one (ToUnicode cmap, encoding differences, widths) costs more than
+        # interpreting a page's whole content stream, so the cache must
+        # outlive the per-page interpreter
+        self._font_cache: dict[int, Any] = {}
         try:
             self._load_xref()
         except Exception:
@@ -1042,7 +1047,7 @@ class ContentInterpreter:
     def __init__(self, doc: PdfDocument, resources: dict):
         self.doc = doc
         self.glyphs: list[_Glyph] = []
-        self._font_cache: dict[int, Font] = {}
+        self._font_cache = doc._font_cache  # shared across pages
         self._res_stack: list[dict] = [resources or {}]
 
     # -- resources -----------------------------------------------------------
@@ -1051,12 +1056,16 @@ class ContentInterpreter:
         res = self._res_stack[-1]
         fonts = self.doc.resolve(res.get("Font")) or {}
         fd = fonts.get(name)
-        key = id(fd) if not isinstance(fd, Ref) else fd.num
-        if key in self._font_cache:
-            return self._font_cache[key]
+        # Refs key by object number; inline dicts by id() — the cached entry
+        # pins fd so a freed dict's id can never alias into a stale hit
+        key = ("r", fd.num) if isinstance(fd, Ref) else ("i", id(fd))
+        hit = self._font_cache.get(key)
+        if hit is not None:
+            return hit[1]
+        pin = fd
         fd = self.doc.resolve(fd)
         font = Font(self.doc, fd) if isinstance(fd, dict) else None
-        self._font_cache[key] = font
+        self._font_cache[key] = (pin if not isinstance(pin, Ref) else fd, font)
         return font
 
     def _xobject(self, name: str):

@@ -2865,3 +2865,107 @@ FROM merged GROUP BY user_id, page, band
 
 QUERIES["o3_bbox_merge_pages"] = q_o3_bbox_merge_pages
 ORACLES["o3_bbox_merge_pages"] = ORACLE_O3_BBOX_PAGES
+
+
+# ===========================================================================
+# batch 28 — full training-data assembly: gate → exact dedup →
+# decontaminate → stratified sample → pack, composed as ONE lineage query
+# (every doc carries its per-stage verdicts; survivors carry their packed
+# sequence assignment). The stage interplay is deliberately adversarial:
+# doc 0 is BOTH a canonical duplicate (doc_id % 10 < 2) AND a benchmark
+# doc (doc_id % 41 = 0), so the whole duplicate class is also flagged
+# contaminated.
+# ===========================================================================
+PAYLOAD_FULLCURATE = (
+    "CASE WHEN doc_id % 10 < 2 THEN 'the same canonical duplicated training "
+    "document body appears verbatim in many crawled pages' ELSE text END"
+)
+
+
+def q_curate_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.expr(PAYLOAD_FULLCURATE).alias("payload"),
+    )
+    gated = docs.withColumn("gate_pass", F.length("payload") >= 50)
+    deduped = exact_dedup(gated, "doc_id", "payload")
+    dec = decontaminate_ngrams(
+        docs, docs.where("doc_id % 41 = 0"), "doc_id", "payload", n=5
+    ).select("doc_id", "contaminated")
+    flags = stratified_sample(
+        deduped.join(dec, "doc_id"), "doc_id", "lang", SAMPLE_RATES
+    )
+    surv = flags.where("gate_pass AND keep AND NOT contaminated AND sampled")
+    packed = pack_sequences(
+        surv.select("doc_id", "payload"),
+        "doc_id",
+        "payload",
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    ).select("doc_id", "seq_id", "offset_in_seq")
+    return (
+        flags.select(
+            "doc_id", "lang", "gate_pass", "keep", "contaminated", "sampled"
+        )
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "gate_pass",
+            "keep",
+            "contaminated",
+            "sampled",
+            F.coalesce("seq_id", F.lit(-1)).cast("long").alias("seq_id"),
+            F.coalesce("offset_in_seq", F.lit(-1))
+            .cast("int")
+            .alias("offset_in_seq"),
+        )
+    )
+
+
+ORACLE_CURATE_ASSEMBLE = f"""
+WITH corpus AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, {PAYLOAD_FULLCURATE} AS payload
+  FROM documents
+), dedup AS (
+  SELECT *, length(payload) >= 50 AS gate_pass,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(payload)) AS keep
+  FROM corpus
+), sh AS (
+  SELECT doc_id, {_SHINGLE5_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+), bl AS (
+  SELECT list(DISTINCT g.ngram) AS grams
+  FROM (SELECT unnest(shingles) AS ngram FROM sh WHERE doc_id % 41 = 0) g
+), flags AS (
+  SELECT d.doc_id, d.lang, d.payload, d.gate_pass, d.keep,
+         len(list_intersect(sh.shingles, bl.grams)) > 0 AS contaminated,
+         substring(md5(d.lang || '|' || d.doc_id), 1, 4)
+           < {_rate_case_sql(lambda r: "'" + sample_threshold_hex(r) + "'")}
+           AS sampled
+  FROM dedup d JOIN sh ON d.doc_id = sh.doc_id, bl
+), surv AS (
+  SELECT doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(string_split(payload, ' '))::BIGINT AS tokens
+  FROM flags WHERE gate_pass AND keep AND NOT contaminated AND sampled
+), packed AS (
+  SELECT doc_id,
+         (shard::BIGINT * 4294967296 + ((cum - tokens) // {PACK_BUDGET}))
+           AS seq_id,
+         ((cum - tokens) % {PACK_BUDGET})::INT AS off
+  FROM (SELECT doc_id, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM surv)
+)
+SELECT f.doc_id, f.lang, f.gate_pass, f.keep, f.contaminated, f.sampled,
+       coalesce(p.seq_id, -1)::BIGINT AS seq_id,
+       coalesce(p.off, -1)::INT AS offset_in_seq
+FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
+"""
+
+QUERIES["curate_assemble"] = q_curate_assemble
+ORACLES["curate_assemble"] = ORACLE_CURATE_ASSEMBLE
