@@ -220,6 +220,12 @@ def make_extract_udf(boilerplate_mode: str = "reference"):
             spans_l: list = []
             status_l: list = []
             score_l: list = []
+            # stat columns computed inline while the per-row loop already
+            # holds each string (saves three object-dtype .str passes;
+            # ~2% wall — cProfile shows 12% but taxes the .str call fan-out)
+            n_char_l: list = []
+            n_word_l: list = []
+            n_line_l: list = []
             for ct, text in zip(ctypes.tolist(), texts.tolist()):
                 extracted, spans, status = _extract_one(
                     ct, text or "", boilerplate_mode
@@ -235,11 +241,16 @@ def make_extract_udf(boilerplate_mode: str = "reference"):
                 )
                 status_l.append(status)
                 score_l.append(_score(extracted, spans))
+                if extracted is None:
+                    n_char_l.append(0)
+                    n_word_l.append(0)
+                    n_line_l.append(0)
+                else:
+                    n_char_l.append(len(extracted))
+                    n_word_l.append(len(extracted.split()))
+                    n_line_l.append(extracted.count("\n") + 1)
 
             ext = pd.Series(extracted_l, index=pdf.index, dtype="object")
-            n_char = ext.str.len()
-            n_word = ext.str.split().str.len()
-            n_line = ext.str.split("\n").str.len()
             elapsed_us = int((time.perf_counter() - t0) * 1e6)
 
             out = pd.DataFrame(
@@ -253,9 +264,15 @@ def make_extract_udf(boilerplate_mode: str = "reference"):
                     "parse_score": pd.Series(
                         score_l, index=pdf.index, dtype="float32"
                     ),
-                    "n_char": n_char.fillna(0).astype("int32"),
-                    "n_word": n_word.fillna(0).astype("int32"),
-                    "n_line": n_line.fillna(0).astype("int32"),
+                    "n_char": pd.Series(
+                        n_char_l, index=pdf.index, dtype="int32"
+                    ),
+                    "n_word": pd.Series(
+                        n_word_l, index=pdf.index, dtype="int32"
+                    ),
+                    "n_line": pd.Series(
+                        n_line_l, index=pdf.index, dtype="int32"
+                    ),
                     "_n_bytes": texts.fillna("").str.len().astype("int64"),
                     "_proc_us": np.int64(elapsed_us // n),
                 }
