@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schema, batching, partition strategy, UDF
-signatures, Arrow batch shape) is real and tested; the actual codec calls are
-STUBBED — image/audio libraries are not in this container. Each decode stub
-is deterministic (derived from the payload bytes) so tests are stable; swap
-``_fake_decode_*`` for PIL/ffmpeg calls on a cluster with the libs installed.
+Decode coverage (round 3): PNG and BMP images, RIFF/PCM WAV audio, and
+ISO-BMFF (MP4) metadata decode FOR REAL on the stdlib
+(functions/media_decode.py — zlib + PNG scanline filters, ``wave``, box
+walk), same from-scratch approach as the %PDF decoder. Formats that
+genuinely need codec libraries (JPEG entropy coding, video frames) remain
+behind the injectable-decoder seam with a deterministic stub
+(``_fake_decode_image`` / frame hashes) — swap in PIL/ffmpeg on a cluster
+that has them; the stub rows are explicitly status='stub_decoded'.
 
 Scale notes: binary payloads never enter a shuffle — decode/feature-extract
 runs mapInPandas directly on the scan partitions, and only the (small)
@@ -82,7 +85,27 @@ def _pil_decode_image(payload: bytes) -> tuple[int, int, float]:  # pragma: no c
     return w, h, luma
 
 
-DEFAULT_IMAGE_DECODER = _pil_decode_image if HAVE_PIL else _fake_decode_image
+def _stdlib_decode_image(payload: bytes):
+    """Real stdlib decode for PNG/BMP; other formats fall back to the
+    deterministic stub (flagged per row as 'stub_decoded'). Returns
+    (width, height, mean_luma, status)."""
+    from doc_parser_spark.functions.media_decode import (
+        PNG_MAGIC,
+        decode_bmp,
+        decode_png,
+    )
+
+    if payload[:8] == PNG_MAGIC:
+        w, h, luma = decode_png(payload)
+        return w, h, luma, "decoded"
+    if payload[:2] == b"BM":
+        w, h, luma = decode_bmp(payload)
+        return w, h, luma, "decoded"
+    w, h, luma = _fake_decode_image(payload)
+    return w, h, luma, "stub_decoded"
+
+
+DEFAULT_IMAGE_DECODER = _pil_decode_image if HAVE_PIL else _stdlib_decode_image
 
 
 def decode_images(
@@ -102,6 +125,8 @@ def decode_images(
     """
     dec = decoder or DEFAULT_IMAGE_DECODER
     status_ok = "stub_decoded" if dec is _fake_decode_image else "decoded"
+    # a decoder may return (w, h, luma) or (w, h, luma, status) — the
+    # default stdlib hybrid reports per-row whether the decode was real
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,10 +141,14 @@ def decode_images(
                     payload = bytes(payload)
                     sha = hashlib.sha256(payload).hexdigest()
                     try:
-                        w, h, luma = dec(payload)
+                        res = dec(payload)
+                        if len(res) == 4:
+                            w, h, luma, st = res
+                        else:
+                            w, h, luma = res
+                            st = status_ok
                         rows.append(
-                            (int(media_id), sha, len(payload), w, h, luma,
-                             status_ok)
+                            (int(media_id), sha, len(payload), w, h, luma, st)
                         )
                     except Exception:
                         rows.append(
@@ -136,6 +165,108 @@ def decode_images(
 
     return media.where(F.col("kind") == "image").mapInPandas(
         gen, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL audio feature extraction for RIFF/PCM WAV on the stdlib
+    (functions/media_decode.py::decode_wav): channels / rate / frames /
+    duration + full-scale-normalized RMS and peak. Non-WAV or corrupt
+    payloads land status='failure' with null features — no stub fallback
+    (compressed audio needs ffmpeg; that stays out honestly).
+
+    Same scale shape as decode_images: runs on the scan partitions, binary
+    never shuffles, sub-batched to bound per-task memory."""
+    from doc_parser_spark.functions.media_decode import (
+        MediaDecodeError,
+        decode_wav,
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "channels", "sample_rate", "n_frames",
+            "duration_s", "rms", "peak", "decode_status",
+        ]
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for media_id, payload in zip(sub["media_id"], sub["payload"]):
+                    if payload is None:
+                        rows.append((int(media_id),) + (None,) * 6 + ("skipped",))
+                        continue
+                    try:
+                        f = decode_wav(bytes(payload))
+                        rows.append(
+                            (int(media_id), f["channels"], f["sample_rate"],
+                             f["n_frames"], f["duration_s"], f["rms"],
+                             f["peak"], "decoded")
+                        )
+                    except MediaDecodeError:
+                        rows.append((int(media_id),) + (None,) * 6 + ("failure",))
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {"media_id": "int64"}
+                )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """REAL container metadata for ISO-BMFF (MP4/MOV) video: ftyp brand,
+    mvhd duration, trak count via a stdlib box walk — no codec work.
+    Frame decoding stays behind sample_frames' injectable seam."""
+    from doc_parser_spark.functions.media_decode import (
+        MediaDecodeError,
+        parse_mp4_meta,
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "brand", "duration_s", "n_tracks", "decode_status"]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(media_id), None, None, None, "skipped"))
+                    continue
+                try:
+                    m = parse_mp4_meta(bytes(payload))
+                    rows.append(
+                        (int(media_id), m["brand"], m["duration_s"],
+                         m["n_tracks"], "decoded")
+                    )
+                except MediaDecodeError:
+                    rows.append((int(media_id), None, None, None, "failure"))
+            yield pd.DataFrame(rows, columns=cols).astype({"media_id": "int64"})
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        gen, schema=VIDEO_META_SCHEMA
     )
 
 

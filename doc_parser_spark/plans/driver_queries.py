@@ -2969,3 +2969,129 @@ FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
 
 QUERIES["curate_assemble"] = q_curate_assemble
 ORACLES["curate_assemble"] = ORACLE_CURATE_ASSEMBLE
+
+
+# ===========================================================================
+# batch 29 — REAL stdlib media decode on the multimodal surface: PNG / WAV /
+# MP4 payloads built deterministically in the Arrow batch
+# (sources/synth_media.py — real encoders), decoded by
+# functions/media_decode.py (zlib + PNG scanline filters, wave, ISO-BMFF
+# box walk), oracled by the builders' closed-form feature formulas.
+# Roundtrip exactness across all 5 PNG filters × 4 colortypes is separately
+# fuzz-tested in tests/test_media_decode.py.
+# ===========================================================================
+def _media_query(kind: str, builder_name: str, op):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import doc_parser_spark.sources.synth_media as SM
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+
+        def gen(batches):
+            builder = getattr(SM, builder_name)
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["doc_id"].astype("int64"),
+                        "conv_id": pdf["doc_id"].astype(str),
+                        "turn_idx": (pdf["doc_id"] % 7).astype("int32"),
+                        "kind": kind,
+                        "payload": [builder(int(i)) for i in pdf["doc_id"]],
+                        "mime": None,
+                    }
+                )
+
+        from doc_parser_spark.operators.multimodal import MEDIA_SCHEMA
+
+        media = docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+        return op(media)
+
+    return q
+
+
+def _q_m1(media):
+    from doc_parser_spark.operators.multimodal import decode_images
+
+    return decode_images(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round(F.col("mean_luma").cast("double"), 4).alias("mean_luma"),
+        "decode_status",
+    )
+
+
+def _q_m2(media):
+    from doc_parser_spark.operators.multimodal import audio_features
+
+    return audio_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "channels",
+        "sample_rate",
+        "n_frames",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "decode_status",
+    )
+
+
+def _q_m3(media):
+    from doc_parser_spark.operators.multimodal import video_metadata
+
+    return video_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "brand",
+        F.round("duration_s", 4).alias("duration_s"),
+        "n_tracks",
+        "decode_status",
+    )
+
+
+q_m1_image_decode = _media_query("image", "build_png", _q_m1)
+q_m2_audio_features = _media_query("audio", "build_wav", _q_m2)
+q_m3_video_meta = _media_query("video", "build_mp4", _q_m3)
+
+ORACLE_M1_IMAGE = """
+SELECT doc_id::BIGINT AS doc_id,
+       (16 + doc_id % 32)::INT AS width,
+       (8 + doc_id % 16)::INT AS height,
+       round((doc_id % 256) / 255.0, 4) AS mean_luma,
+       'decoded' AS decode_status
+FROM documents
+"""
+
+ORACLE_M2_AUDIO = """
+SELECT doc_id::BIGINT AS doc_id,
+       (1 + doc_id % 2)::INT AS channels,
+       16000::INT AS sample_rate,
+       (8000 + (doc_id % 100) * 40)::BIGINT AS n_frames,
+       round((8000 + (doc_id % 100) * 40) / 16000.0, 4) AS duration_s,
+       round((1000 + (doc_id % 50) * 100) / 32768.0, 6) AS rms,
+       'decoded' AS decode_status
+FROM documents
+"""
+
+ORACLE_M3_VIDEO = """
+SELECT doc_id::BIGINT AS doc_id,
+       'isom' AS brand,
+       round((2000 + (doc_id % 60) * 500) / 1000.0, 4) AS duration_s,
+       (1 + doc_id % 3)::INT AS n_tracks,
+       'decoded' AS decode_status
+FROM documents
+"""
+
+QUERIES.update(
+    {
+        "m1_image_decode": q_m1_image_decode,
+        "m2_audio_features": q_m2_audio_features,
+        "m3_video_meta": q_m3_video_meta,
+    }
+)
+ORACLES.update(
+    {
+        "m1_image_decode": ORACLE_M1_IMAGE,
+        "m2_audio_features": ORACLE_M2_AUDIO,
+        "m3_video_meta": ORACLE_M3_VIDEO,
+    }
+)
