@@ -1237,6 +1237,58 @@ GAP_CONT = 0.24
 BASELINE_TOL = 0.4
 
 
+_RTL_RE = __import__("re").compile(
+    "[֐-ࣿיִ-﷿ﹰ-﻿]"
+)
+_LTR_RE = __import__("re").compile(r"[A-Za-z0-9]")
+_NEUTRAL_OK = frozenset(" .,:%/+-")
+_MIRROR = str.maketrans("()[]{}<>", ")(][}{><")
+
+
+def _logical_order(entries: list[str]) -> str:
+    """Visual → logical reorder for RTL cells (docling-parse emits textline
+    cells in LOGICAL order; PDF content streams place glyphs visually).
+
+    Entry-level, not character-level: each entry is one glyph's ToUnicode
+    expansion, so multi-char ligature expansions (lam-alef → "لا") keep
+    their internal logical order through the reversal. Maximal LTR runs
+    (Latin/digit glyphs plus neutrals BETWEEN them) are un-reversed back to
+    visual order; paired brackets outside LTR runs mirror back."""
+    text = "".join(entries)
+    if not _RTL_RE.search(text):
+        return text
+    rev = entries[::-1]
+    out: list[str] = []
+    i, n = 0, len(rev)
+    while i < n:
+        e = rev[i]
+        if _LTR_RE.search(e):
+            k = i
+            while k + 1 < n:
+                nxt = k + 1
+                if _LTR_RE.search(rev[nxt]):
+                    k = nxt
+                    continue
+                m = nxt
+                while (
+                    m < n
+                    and not _LTR_RE.search(rev[m])
+                    and not _RTL_RE.search(rev[m])
+                    and all(ch in _NEUTRAL_OK for ch in rev[m])
+                ):
+                    m += 1
+                if m < n and _LTR_RE.search(rev[m]):
+                    k = m
+                else:
+                    break
+            out.extend(rev[i : k + 1][::-1])
+            i = k + 1
+        else:
+            out.append(e if _RTL_RE.search(e) else e.translate(_MIRROR))
+            i += 1
+    return "".join(out)
+
+
 def _assemble_cells(glyphs: list[_Glyph]) -> list[tuple[float, float, float, float, str]]:
     cells = []
     cur: Optional[list] = None  # [x0,y0,x1,y1,baseline,size,chars]
@@ -1268,7 +1320,7 @@ def _assemble_cells(glyphs: list[_Glyph]) -> list[tuple[float, float, float, flo
         cells.append(cur)
     out = []
     for c in cells:
-        text = "".join(c[6]).strip()
+        text = _logical_order(c[6]).strip()
         if text:
             out.append((c[0], c[1], c[2], c[3], text))
     return out

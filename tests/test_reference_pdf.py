@@ -52,7 +52,25 @@ def _norm(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
-@pytest.mark.parametrize("name", ["2305.03393v1-pg9", "amt_handbook_sample"])
+# every fixture with docling-parse textline groundtruth, with its pinned
+# minimum whole-page similarity. The three right_to_left_* fixtures
+# exercise the glyph-level visual→logical bidi reorder (ligature
+# expansions stay intact through the reversal; LTR runs un-reverse).
+# Residual gaps, measured and accepted: rtl_02 — tatweel-elongation glyph
+# repeats differ from the groundtruth's own inconsistent counts, and the
+# groundtruth renders "( - 2024 )2026" for a parenthesized year range;
+# rtl_03 — three intra-word spaces around lam-alef ligatures.
+TEXTLINE_MIN_SIM = {
+    "2305.03393v1-pg9": 0.99,
+    "amt_handbook_sample": 0.99,
+    "picture_classification": 0.95,
+    "right_to_left_01": 0.99,
+    "right_to_left_02": 0.75,
+    "right_to_left_03": 0.90,
+}
+
+
+@pytest.mark.parametrize("name", sorted(TEXTLINE_MIN_SIM))
 def test_textline_groundtruth_similarity(name):
     """Decoder layer vs the pre-NN textline cells (docling-parse v4)."""
     gt_pages = json.loads((GT_DIR / f"{name}.pages.json").read_text())
@@ -64,7 +82,9 @@ def test_textline_groundtruth_similarity(name):
         )
         my_text = _norm(" ".join(c[5] for c in cells if c[0] == idx + 1))
         sim = difflib.SequenceMatcher(None, my_text, gt_text).ratio()
-        assert sim >= 0.99, f"{name} page {idx + 1}: similarity {sim:.4f}"
+        assert sim >= TEXTLINE_MIN_SIM[name], (
+            f"{name} page {idx + 1}: similarity {sim:.4f}"
+        )
 
 
 def test_all_reference_fixtures_decode_nonempty():
@@ -166,3 +186,18 @@ def test_real_pdf_through_distributed_extract(spark):
     assert out[8]["parse_status"] == "failure"
     assert out[9]["content_type"] == "plain"
     assert out[9]["parse_status"] == "success"
+
+
+def test_logical_order_unit():
+    """Glyph-entry bidi reorder: LTR passes through verbatim, RTL reverses
+    at entry level (ligature expansions intact), embedded LTR runs keep
+    visual order, brackets mirror in RTL context."""
+    from doc_parser_spark.functions.pdf_decode import _logical_order
+
+    assert _logical_order(list("Hello (world) 123")) == "Hello (world) 123"
+    assert _logical_order(["ش", "ر", "ک"]) == "کرش"
+    assert _logical_order(["ب", "لا", "ک"]) == "کلاب"  # ligature stays "لا"
+    assert _logical_order(list("אב") + ["(", "X", ")"]) == "(X)בא"
+    # neutrals between LTR entries join the LTR run, which keeps its visual
+    # order; the run is visually rightmost so it leads the logical string
+    assert _logical_order(["ش", " ", "2", "-", "5", " ", "R"]) == "2-5 R ش"
