@@ -1235,6 +1235,7 @@ class ContentInterpreter:
 # the reference's merge_horizontal_cells rule
 GAP_CONT = 0.24
 BASELINE_TOL = 0.4
+SPACE_GAP = 0.18  # gap > 0.18 em inside a cell = kerning-encoded word space
 
 
 _RTL_RE = __import__("re").compile(
@@ -1307,6 +1308,15 @@ def _assemble_cells(glyphs: list[_Glyph]) -> list[tuple[float, float, float, flo
             if same_line and -0.6 * cur[5] <= gap <= GAP_CONT * max(
                 cur[5], g.size, 1e-6
             ):
+                if (
+                    gap > SPACE_GAP * max(cur[5], g.size)
+                    and cur[6]
+                    and cur[6][-1] != " "
+                ):
+                    # word space encoded as a TJ kerning displacement, not a
+                    # space glyph (pdfium synthesizes these too): a gap over
+                    # ~0.18 em between letter boxes is a word break
+                    cur[6].append(" ")
                 cur[0] = min(cur[0], g.x0)
                 cur[1] = min(cur[1], g.y0)
                 cur[2] = max(cur[2], g.x1)

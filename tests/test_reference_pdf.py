@@ -63,7 +63,7 @@ def _norm(s: str) -> str:
 TEXTLINE_MIN_SIM = {
     "2305.03393v1-pg9": 0.99,
     "amt_handbook_sample": 0.99,
-    "picture_classification": 0.95,
+    "picture_classification": 0.999,  # exact 1.0 after SPACE_GAP synthesis
     "right_to_left_01": 0.99,
     "right_to_left_02": 0.75,
     "right_to_left_03": 0.90,
