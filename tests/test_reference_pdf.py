@@ -4,7 +4,10 @@ Layers tested, strongest envelope each layer supports:
 
 1. decoder-layer text parity vs the reference's pre-NN ``*.pages.json``
    textline groundtruth (docling-parse v4 cells): whitespace-normalized
-   full-page text similarity >= 0.99.
+   full-page text similarity, per-fixture floors in TEXTLINE_MIN_SIM
+   (>= 0.99 LTR, the three RTL fixtures via the bidi reorder), plus a
+   bag-of-words envelope vs the full docling .md exports for the fixtures
+   without pages.json (WORD_ENVELOPE).
 2. end-to-end (decode → cell merge → furniture strip → paragraphs) vs the
    genon regression baseline for ``pdf_sample.pdf``
    (/root/reference/genon/preprocessor/tests/regression/baselines/
@@ -201,3 +204,31 @@ def test_logical_order_unit():
     # neutrals between LTR entries join the LTR run, which keeps its visual
     # order; the run is visually rightmost so it leads the logical string
     assert _logical_order(["ش", " ", "2", "-", "5", " ", "R"]) == "2-5 R ش"
+
+
+# word-level envelope vs the reference's FULL docling .md exports for the
+# fixtures without pages.json textline groundtruth (the .md embeds
+# NN-ordered content and picture/caption handling we scope out, so the bar
+# is bag-of-words precision/recall, not sequence similarity)
+WORD_ENVELOPE = {
+    "multi_page": 0.99,
+    "code_and_formula": 0.97,
+    "redp5110_sampled": 0.88,
+}
+
+
+@pytest.mark.parametrize("name", sorted(WORD_ENVELOPE))
+def test_word_envelope_vs_docling_md(name):
+    cells, _ = decode_pdf_pages((REF_PDF_DIR / f"{name}.pdf").read_bytes())
+    mine = Counter(
+        re.findall(r"\w+", " ".join(c[5] for c in cells).lower())
+    )
+    theirs = Counter(
+        re.findall(r"\w+", (GT_DIR / f"{name}.md").read_text().lower())
+    )
+    inter = sum((mine & theirs).values())
+    precision = inter / sum(mine.values())
+    recall = inter / sum(theirs.values())
+    floor = WORD_ENVELOPE[name]
+    assert precision >= floor, f"{name} precision {precision:.4f}"
+    assert recall >= floor, f"{name} recall {recall:.4f}"
