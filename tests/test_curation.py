@@ -140,3 +140,104 @@ class TestPackSequences:
     def test_seq_ids_globally_unique_across_shards(self, packed):
         by_seq = packed.groupby("seq_id").shard.nunique()
         assert (by_seq == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (pure-python mirrors of the Spark expressions,
+# verified equivalent by the oracled queries; hypothesis explores the input
+# space no fixed corpus covers)
+# ---------------------------------------------------------------------------
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_parser_spark.operators.curation import sample_threshold_hex
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz|0123456789", min_size=1, max_size=24
+    ),
+)
+def test_threshold_is_monotone_and_exact_at_edges(rate, key):
+    """The lexicographic hex compare implements u < rate for the uniform
+    draw u = md5/16^4: rate 0 never keeps, rate 1 always keeps, and the
+    kept-set is monotone in rate (a row kept at rate r stays kept at any
+    r' > r) — the property that makes rate changes pure supersets, so a
+    resampled corpus only grows."""
+    u = hashlib.md5(key.encode()).hexdigest()[:4]
+    kept = u < sample_threshold_hex(rate)
+    if rate == 0.0:
+        assert not kept
+    if rate >= 1.0:
+        assert kept
+    bigger = min(1.0, rate + 0.25)
+    kept_bigger = u < sample_threshold_hex(bigger)
+    assert (not kept) or kept_bigger  # monotone
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=80),
+    st.integers(min_value=8, max_value=256),
+)
+def test_pack_arithmetic_invariants(tokens, budget):
+    """The concat-and-chunk arithmetic (mirrors pack_sequences' window
+    expressions within one shard): offsets stay inside the budget, seq ids
+    are non-decreasing and dense, every straddle flag matches end > budget,
+    and total token mass is conserved."""
+    cum = 0
+    prev_seq = 0
+    covered = set()
+    for t in tokens:
+        start = cum
+        cum += t
+        seq = start // budget
+        off = start - seq * budget
+        last_seq = (cum - 1) // budget
+        straddles = last_seq > seq
+        assert 0 <= off < budget
+        assert seq >= prev_seq
+        # a document occupies [seq, last_seq]; an oversized doc may span
+        # many sequences (start ids skip, but token space never gaps)
+        covered.update(range(seq, last_seq + 1))
+        assert straddles == (off + t > budget)
+        prev_seq = seq
+    assert covered == set(range(0, max(covered) + 1))
+    assert cum == sum(tokens)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_shingle_contamination_symmetry(texts, n):
+    """Decontamination's n-gram rule (python mirror of shingle_expr):
+    a document is contaminated by a benchmark containing itself iff it has
+    at least one n-gram; contamination is monotone in benchmark growth."""
+
+    def shingles(s):
+        w = s.split(" ")
+        return (
+            {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            if len(w) >= n
+            else set()
+        )
+
+    bench_small = shingles(texts[0])
+    bench_big = set().union(*(shingles(t) for t in texts))
+    for t in texts:
+        sh = shingles(t)
+        hit_small = bool(sh & bench_small)
+        hit_big = bool(sh & bench_big)
+        assert (not hit_small) or hit_big  # monotone in the benchmark
+        if sh and t == texts[0]:
+            assert hit_small  # self-contamination
+        if not sh:
+            assert not hit_big  # short docs never contaminated
