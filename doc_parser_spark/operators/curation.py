@@ -25,6 +25,12 @@ Scale notes (100 TB):
   alternative (one global ORDER BY window) would serialize 100 TB through
   a single task. One exchange on the shard key, rows carry only
   (id, token_count).
+- ``lm_quality_score`` trains on the corpus with one map-side-combined
+  token-count aggregation (the shuffle carries (token, partial_count),
+  never text), takes the top-K vocabulary with TakeOrdered (distributed
+  partial top-K — no global sort task), and scores with a BROADCAST
+  vocab join + per-document aggregation whose shuffle again carries only
+  (id, partial sums).
 """
 
 from __future__ import annotations
@@ -174,4 +180,59 @@ def pack_sequences(
         .alias("seq_id"),
         (start - local_seq * budget).cast("int").alias("offset_in_seq"),
         (F.floor((cum - 1) / budget) > local_seq).alias("straddles"),
+    )
+
+
+DEFAULT_LM_VOCAB = 4096
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = DEFAULT_LM_VOCAB,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score each document by the mean negative log-likelihood of its tokens
+    under a unigram LM trained on the corpus itself — documents whose token
+    distribution is unusual for the corpus (gibberish, boilerplate,
+    wrong-language) score HIGH and can be threshold-filtered. The real CCNet
+    uses a KenLM 5-gram; this engine-portable stand-in is the unigram corpus
+    LM with a count-1 floor for tokens outside the top ``vocab_size``
+    vocabulary (the OOV penalty).
+
+    Tokens: lowercase alphanumeric runs (split on ``[^a-z0-9]+``). Output
+    one row per document with ≥1 token: (id_col, n_tokens, nll) where
+    ``nll = round(avg(-ln(count(tok)/total_tokens)), 4)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                "w -> w != '')"
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    vocab = counts.orderBy(F.col("c").desc(), "tok").limit(vocab_size)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.coalesce(F.col("c"), F.lit(1)).cast("double")
+                    / F.col("t")
+                )
+            ).alias("nll_tok"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg("nll_tok"), 4).alias("nll"),
+        )
     )

@@ -229,6 +229,126 @@ def simhash(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster connected components over a candidate-pair edge list.
+
+    Near-dup pair generators (``lsh_candidate_pairs``, embedding-LSH) emit
+    EDGES; an actual dedup decision needs transitive CLUSTERS — A~B and B~C
+    put A,B,C in one cluster even when A~C itself fails the threshold. This
+    is iterative min-label propagation (the Hash-to-Min family — Rastogi et
+    al. "Finding Connected Components in Map-Reduce in Logarithmic Rounds";
+    no GraphFrames jar needed): every vertex starts labelled with itself and
+    each round adopts the minimum label among itself and its neighbours,
+    until a round changes nothing.
+
+    Output: (id, cluster_id) for every vertex in the edge list, cluster_id =
+    the minimum vertex id of its component. Vertices with no edges are the
+    caller's to coalesce (``cluster_canonical`` does).
+
+    Scale shape (100 TB): all rows are constant-width (two ids) no matter how
+    large documents are. Edges are symmetrised, deduped, hash-partitioned on
+    src ONCE and persisted, so each round re-shuffles only the label table
+    (|V| rows) into that fixed partitioning plus one map-side-combined
+    groupBy(dst).min. Rounds = cluster diameter; LSH duplicate clusters are
+    near-cliques, so 2-4 rounds in practice regardless of corpus size.
+
+    Each round ends in an eager ``localCheckpoint`` — the label plan feeds
+    TWO consumers per round (the neighbour-min join and the update join),
+    so without lineage truncation the logical plan doubles every round
+    (2^rounds copies: a driver-side StackOverflow long before data size
+    matters). Checkpointing pins plan depth at one join regardless of
+    round count. On a real cluster with executor churn, swap in a reliable
+    ``checkpoint(dir)`` — same shape, replicated storage.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = sym.distinct().repartition("src").persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            step = labels.join(
+                nbr_min, labels["id"] == nbr_min["nid"], "left"
+            ).select(
+                "id",
+                "label",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("new_label"),
+            ).localCheckpoint(eager=True)
+            changed = step.where(F.col("new_label") < F.col("label")).count()
+            labels = step.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds — component diameter exceeds the cap"
+            )
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+def cluster_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    components: DataFrame,
+) -> DataFrame:
+    """Pick one canonical document per duplicate cluster.
+
+    Joins ``connected_components`` output back onto the corpus (documents in
+    no cluster become their own singleton cluster) and keeps, per cluster,
+    the longest text — ties broken by smallest id, so the choice is total
+    and deterministic.
+
+    Output: (id_col, cluster_id, keep).
+
+    Scale shape: one broadcast-able join (the component table only holds ids
+    for docs that had any near-dup edge — tiny next to the corpus) plus one
+    window exchange on cluster_id carrying (id, length) — the text itself
+    never rides the shuffle.
+    """
+    from pyspark.sql import Window
+
+    labelled = (
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("_len"))
+        .join(components, F.col(id_col) == components["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            "_len",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col(id_col)
+    )
+    return labelled.select(
+        F.col(id_col),
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def simhash_oracle_sql(payload_sql: str, bits: int = 16) -> str:
     """DuckDB mirror of ``simhash`` over a payload expression."""
     hex_chars = 8 if bits <= 32 else 15

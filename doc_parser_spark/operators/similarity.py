@@ -232,3 +232,104 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_init_farthest(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Deterministic farthest-first seed selection (Gonzalez's k-center
+    greedy — the spreading idea behind k-means++ without its RNG): seed 0
+    is the vector with the smallest md5(id) (engine-portable uniform draw);
+    each next seed is the vector with the LOWEST maximum cosine similarity
+    to the seeds chosen so far, ties broken by smallest id. Spread seeds
+    cannot collapse two natural clusters onto one centroid the way a
+    uniform draw can (an empty Lloyd centroid never recovers).
+
+    Each of the k-1 greedy steps is one corpus scan: the current seed set
+    collapses to a broadcast array-of-structs, the max-similarity is a
+    row-local fold, and the argmin is a TakeOrdered limit 1 — the corpus
+    never shuffles. k is small; the scans are the inherent greedy cost.
+    """
+    vec_dbl = f"transform({vec_col}, x -> cast(x AS DOUBLE))"
+    first = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            F.expr(vec_dbl).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "sid")
+        .limit(1)
+        .select(
+            F.lit(0).cast("long").alias("centroid_id"), "sid", "cvec"
+        )
+    )
+    seeds = first
+    maxsim = (
+        "aggregate(cents, CAST(-2.0 AS DOUBLE), (acc, c) -> "
+        f"greatest(acc, round({COS_EXPR.format(a=vec_col, b='c.cvec')}, 4)))"
+    )
+    for i in range(1, k):
+        cents = seeds.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("centroid_id"), F.col("cvec")))
+            ).alias("cents")
+        )
+        nxt = (
+            df.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col).alias("sid"),
+                F.expr(vec_dbl).alias("cvec"),
+                F.expr(maxsim).alias("_ms"),
+            )
+            .orderBy(F.col("_ms").asc(), "sid")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("centroid_id"), "sid", "cvec"
+            )
+        )
+        seeds = seeds.union(nxt)
+    return seeds.select("centroid_id", "cvec")
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Train IVF centroids with deterministic Lloyd iterations (the step a
+    real IVF index runs before ``ivf_assignments``/``ivf_topk``; fixed
+    strided centroids are the untrained baseline).
+
+    Determinism, so retries/resumes/engines agree bit-for-bit:
+    - init: farthest-first traversal (``ivf_init_farthest``), centroid ids
+      0..k-1 in selection order;
+    - a FIXED iteration count (no data-dependent convergence test);
+    - centroid components rounded to 6 dp after every update, so the
+      float-summation order inside avg() cannot leak into assignments.
+
+    Scale shape per iteration: assignment is the row-local broadcast argmax
+    of ``ivf_assignments`` (big table never shuffles), the update is one
+    groupBy(centroid_id) with per-dimension avg — map-side partial
+    aggregation, shuffle carries k × dim aggregates. Empty clusters keep
+    their previous centroid (whole-array coalesce). Lloyd must rescan the
+    corpus once per iteration — that cost is inherent to k-means, which is
+    why ``iterations`` stays small and fixed.
+    """
+    cents = ivf_init_farthest(df, id_col, vec_col, k)
+    for _ in range(iterations):
+        assigned = ivf_assignments(df, id_col, vec_col, cents)
+        means = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col(vec_col).getItem(i)), 6)
+                    for i in range(dim)
+                ]
+            ).alias("mvec")
+        )
+        cents = cents.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("mvec", "cvec").alias("cvec")
+        )
+    return cents

@@ -3095,3 +3095,297 @@ ORACLES.update(
         "m3_video_meta": ORACLE_M3_VIDEO,
     }
 )
+
+
+# ===========================================================================
+# batch 17 — duplicate-cluster connected components + canonical selection
+# ===========================================================================
+from doc_parser_spark.operators.dedup import (  # noqa: E402
+    cluster_canonical,
+    connected_components,
+)
+
+# chain corpus: groups of four variants of one base document with CUMULATIVE
+# distinct tails — consecutive variants are near-dups, far ones may miss the
+# Jaccard threshold, so clustering must be TRANSITIVE (pairs alone are not a
+# dedup decision). Base is the group-leader's text truncated to 120 chars so
+# the tails move the Jaccard meaningfully.
+CHAIN_SQL = """
+SELECT d.doc_id AS doc_id,
+       substr(b.text, 1, 120)
+       || CASE WHEN d.doc_id % 4 >= 1
+               THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END
+       || CASE WHEN d.doc_id % 4 >= 2
+               THEN ' eta theta iota kappa lambda mu' ELSE '' END
+       || CASE WHEN d.doc_id % 4 >= 3
+               THEN ' nu xi omicron pi rho sigma tau' ELSE '' END AS payload
+FROM documents d JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 4)
+WHERE d.doc_id < 240
+"""
+
+
+def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).alias("d")
+    b = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+        .alias("b")
+    )
+    return (
+        d.join(b, F.col("b_id") == F.col("d.doc_id") - F.col("d.doc_id") % 4)
+        .where(F.col("d.doc_id") < 240)
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.concat(
+                F.expr("substr(b_text, 1, 120)"),
+                F.expr(
+                    "CASE WHEN d.doc_id % 4 >= 1 "
+                    "THEN ' alpha beta gamma delta epsilon zeta' ELSE '' END"
+                ),
+                F.expr(
+                    "CASE WHEN d.doc_id % 4 >= 2 "
+                    "THEN ' eta theta iota kappa lambda mu' ELSE '' END"
+                ),
+                F.expr(
+                    "CASE WHEN d.doc_id % 4 >= 3 "
+                    "THEN ' nu xi omicron pi rho sigma tau' ELSE '' END"
+                ),
+            ).alias("payload"),
+        )
+    )
+
+
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _chain_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "payload", threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# DuckDB mirror: identical LSH pair generation (same md5 banding), then the
+# transitive closure as a recursive CTE; cluster id = min reachable vertex.
+_CC_PAIRS_CTES = f"""corpus AS ({CHAIN_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_cols_sql(8)} FROM sh
+),
+banded AS (
+  SELECT doc_id AS id,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS band0,
+         md5(concat_ws('|', m4, m5, m6, m7)) AS band1
+  FROM sigs
+),
+buckets AS (
+  SELECT id, 0 AS band, band0 AS bucket FROM banded
+  UNION ALL
+  SELECT id, 1 AS band, band1 AS bucket FROM banded
+),
+cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+
+ORACLE_CC_CLUSTERS = f"""
+WITH RECURSIVE {_CC_PAIRS_CTES}
+SELECT id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id FROM comp
+"""
+
+
+def q_dedup_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _chain_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "payload", threshold=0.2)
+    comps = connected_components(pairs)
+    return cluster_canonical(corpus, "doc_id", "payload", comps).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    )
+
+
+ORACLE_CC_CANONICAL = f"""
+WITH RECURSIVE {_CC_PAIRS_CTES}
+SELECT c.doc_id::BIGINT AS doc_id,
+       coalesce(k.cluster_id, c.doc_id)::BIGINT AS cluster_id,
+       (row_number() OVER (
+            PARTITION BY coalesce(k.cluster_id, c.doc_id)
+            ORDER BY len(c.payload) DESC, c.doc_id) = 1) AS keep
+FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+"""
+
+QUERIES.update(
+    {
+        "dedup_cc_clusters": q_dedup_cc_clusters,
+        "dedup_cc_canonical": q_dedup_cc_canonical,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_cc_clusters": ORACLE_CC_CLUSTERS,
+        "dedup_cc_canonical": ORACLE_CC_CANONICAL,
+    }
+)
+
+
+# ===========================================================================
+# batch 18 — CCNet-style LM quality score (corpus-trained unigram NLL)
+# ===========================================================================
+from doc_parser_spark.operators.curation import lm_quality_score  # noqa: E402
+
+
+def q_quality_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return lm_quality_score(docs, "doc_id", "text", vocab_size=512)
+
+
+ORACLE_QUALITY_LM_NLL = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+),
+total AS (
+  SELECT sum(c)::DOUBLE AS t FROM counts
+),
+vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 512
+)
+SELECT toks.doc_id,
+       count(*)::INT AS n_tokens,
+       round(avg(-ln(coalesce(v.c, 1) / t.t)), 4) AS nll
+FROM toks LEFT JOIN vocab v USING (tok), total t
+GROUP BY toks.doc_id
+"""
+
+QUERIES.update({"quality_lm_nll": q_quality_lm_nll})
+ORACLES.update({"quality_lm_nll": ORACLE_QUALITY_LM_NLL})
+
+
+# ===========================================================================
+# batch 19 — k-means-trained IVF (deterministic Lloyd iterations)
+# ===========================================================================
+from doc_parser_spark.operators.similarity import (  # noqa: E402
+    ivf_assignments,
+    ivf_train_kmeans,
+)
+
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 64
+
+
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    cents = ivf_train_kmeans(
+        emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS, dim=_KM_DIM
+    )
+    return ivf_assignments(emb, "vec_id", "embedding", cents).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+
+
+def _km_assign_sql(cents_cte: str) -> str:
+    return f"""
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 4) DESC,
+               c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN {cents_cte} c
+  ) WHERE rk = 1
+"""
+
+
+def _km_oracle(k: int, iters: int, dim: int) -> str:
+    mean_cols = ", ".join(
+        f"round(avg(embedding[{i + 1}]), 6)" for i in range(dim)
+    )
+    # farthest-first init (mirrors ivf_init_farthest): seed 0 = smallest
+    # md5(id); seed i = lowest max-cosine to the seeds so far, ties by id
+    parts = [
+        """WITH s0 AS (
+  SELECT 0 AS centroid_id, vec_id AS sid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1
+),
+seeds0 AS (SELECT * FROM s0)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""fm{i} AS (
+  SELECT e.vec_id, max(round(list_cosine_similarity(
+    e.embedding::DOUBLE[], s.cvec), 4)) AS ms
+  FROM embeddings e CROSS JOIN seeds{i - 1} s GROUP BY e.vec_id
+)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT {i} AS centroid_id, e.vec_id AS sid, e.embedding::DOUBLE[] AS cvec
+  FROM fm{i} JOIN embeddings e USING (vec_id)
+  ORDER BY fm{i}.ms ASC, e.vec_id LIMIT 1
+)"""
+        )
+        parts.append(
+            f"seeds{i} AS (SELECT * FROM seeds{i - 1} "
+            f"UNION ALL SELECT * FROM s{i})"
+        )
+    parts.append(
+        f"cents0 AS (SELECT centroid_id, cvec FROM seeds{k - 1})"
+    )
+    for it in range(iters):
+        parts.append(f"assign{it} AS ({_km_assign_sql(f'cents{it}')})")
+        parts.append(
+            f"means{it} AS (\n  SELECT centroid_id, [{mean_cols}] AS mvec "
+            f"FROM assign{it} GROUP BY centroid_id\n)"
+        )
+        parts.append(
+            f"cents{it + 1} AS (\n  SELECT c.centroid_id, "
+            f"coalesce(m.mvec, c.cvec) AS cvec\n"
+            f"  FROM cents{it} c LEFT JOIN means{it} m USING (centroid_id)\n)"
+        )
+    parts.append(f"final AS ({_km_assign_sql(f'cents{iters}')})")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id::BIGINT AS vec_id, "
+        "centroid_id::BIGINT AS centroid_id FROM final"
+    )
+
+
+ORACLE_SIM_IVF_KMEANS = _km_oracle(_KM_K, _KM_ITERS, _KM_DIM)
+
+QUERIES.update({"sim_ivf_kmeans": q_sim_ivf_kmeans})
+ORACLES.update({"sim_ivf_kmeans": ORACLE_SIM_IVF_KMEANS})

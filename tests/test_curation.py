@@ -241,3 +241,47 @@ def test_shingle_contamination_symmetry(texts, n):
             assert hit_small  # self-contamination
         if not sh:
             assert not hit_big  # short docs never contaminated
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram LM quality score
+# ---------------------------------------------------------------------------
+import math
+
+from pyspark.sql import Row
+
+from doc_parser_spark.operators.curation import lm_quality_score
+
+
+class TestLmQualityScore:
+    def test_common_tokens_score_lower_than_rare(self, spark):
+        # 'the cat sat' repeated corpus-wide; doc 9 is gibberish — its
+        # tokens are rare, so its NLL must be the highest
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="the cat sat on the mat") for i in range(8)]
+            + [Row(doc_id=9, text="zxqv wjkp qqfl zxqv")]
+        )
+        got = {r["doc_id"]: r["nll"] for r in
+               lm_quality_score(docs, "doc_id", "text").collect()}
+        assert got[9] == max(got.values())
+        assert all(got[i] == got[0] for i in range(8))
+
+    def test_exact_unigram_math_and_oov_floor(self, spark):
+        # corpus: 'aa aa bb' → counts aa=2, bb=1, total=3 (vocab_size=1
+        # keeps only 'aa'; 'bb' pays the count-1 OOV floor — same value
+        # here since count(bb)=1, exercising the coalesce path)
+        docs = spark.createDataFrame([Row(doc_id=1, text="aa aa bb")])
+        row = lm_quality_score(docs, "doc_id", "text", vocab_size=1).collect()[0]
+        expect = -(2 * math.log(2 / 3) + 1 * math.log(1 / 3)) / 3
+        assert row["n_tokens"] == 3
+        assert abs(row["nll"] - round(expect, 4)) < 1e-9
+
+    def test_tokenizer_lowercases_and_splits_punct(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="The THE the!"), Row(doc_id=2, text="...")]
+        )
+        rows = lm_quality_score(docs, "doc_id", "text").collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[1]["n_tokens"] == 3  # one token type 'the', thrice
+        assert by_id[1]["nll"] == 0.0  # p('the') = 3/3 = 1
+        assert 2 not in by_id  # no tokens -> no row

@@ -1,0 +1,111 @@
+"""Connected-components duplicate clustering: transitivity, determinism,
+canonical selection, convergence bounds, and the scale shape of the plan.
+
+The operator turns near-dup candidate PAIRS (lsh_candidate_pairs output)
+into transitive CLUSTERS — the step a real dedup decision needs: A~B and
+B~C must co-cluster A,B,C even when A~C itself misses the threshold.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from doc_parser_spark.operators.dedup import (
+    cluster_canonical,
+    connected_components,
+    lsh_candidate_pairs,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [Row(a_id=a, b_id=b) for a, b in edges], "a_id LONG, b_id LONG"
+    )
+
+
+def _labels(df) -> dict[int, int]:
+    return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+
+class TestConnectedComponents:
+    def test_path_graph_transitivity(self, spark):
+        # 1-2, 2-3, 3-4: no direct 1-4 edge, still one cluster
+        got = _labels(connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)])))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_two_components_and_star(self, spark):
+        edges = [(10, 11), (11, 12), (20, 21), (20, 22), (20, 23)]
+        got = _labels(connected_components(_pairs(spark, edges)))
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    def test_edge_direction_irrelevant(self, spark):
+        # min id on the b side: symmetrisation must propagate both ways
+        got = _labels(connected_components(_pairs(spark, [(5, 1), (5, 3)])))
+        assert got == {1: 1, 3: 1, 5: 1}
+
+    def test_empty_edges(self, spark):
+        assert connected_components(_pairs(spark, [])).count() == 0
+
+    def test_convergence_cap_raises(self, spark):
+        # path of length 6 has diameter > 1 round
+        edges = [(i, i + 1) for i in range(1, 7)]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(_pairs(spark, edges), max_iterations=1)
+        got = _labels(connected_components(_pairs(spark, edges)))
+        assert set(got.values()) == {1}
+
+    def test_from_lsh_pairs_chain_corpus(self, spark):
+        # three variants sharing a base: 0~1 and 1~2 are near-dups; the
+        # cluster must include all three regardless of whether 0~2 qualifies
+        base = (
+            "the quick brown fox jumps over the lazy dog while the patient "
+            "observer takes careful notes about every single move it makes"
+        )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, payload=base),
+                Row(doc_id=1, payload=base + " alpha beta gamma delta"),
+                Row(doc_id=2, payload=base + " alpha beta gamma delta eta theta iota kappa"),
+                Row(doc_id=7, payload="completely unrelated text about winter weather patterns in the north"),
+            ]
+        )
+        pairs = lsh_candidate_pairs(docs, "doc_id", "payload", threshold=0.2)
+        comps = connected_components(pairs)
+        got = _labels(comps)
+        assert got[0] == got[1] == got[2] == 0
+        assert 7 not in got  # no edges -> not in the component table
+
+
+class TestClusterCanonical:
+    def test_longest_wins_singletons_kept(self, spark):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload="short"),
+                Row(doc_id=2, payload="the much longer variant text"),
+                Row(doc_id=3, payload="mid length"),
+                Row(doc_id=9, payload="unpaired doc"),
+            ]
+        )
+        comps = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in cluster_canonical(docs, "doc_id", "payload", comps).collect()
+        }
+        assert got == {
+            1: (1, False),
+            2: (1, True),  # longest text
+            3: (1, False),
+            9: (9, True),  # singleton is its own canonical
+        }
+
+    def test_tie_breaks_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=4, payload="same len"), Row(doc_id=2, payload="same len")]
+        )
+        comps = connected_components(_pairs(spark, [(2, 4)]))
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in cluster_canonical(docs, "doc_id", "payload", comps).collect()
+        }
+        assert got == {2: True, 4: False}

@@ -76,3 +76,47 @@ def test_ann_recall_vs_bucket_bruteforce(spark, emb, qvec):
     brute = topk(emb, "vec_id", "embedding", qvec, k=10).toPandas()
     overlap = len(set(ann["vec_id"]) & set(brute["vec_id"]))
     assert overlap >= 1  # the query vector itself at minimum
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained IVF centroids
+# ---------------------------------------------------------------------------
+from pyspark.sql import Row  # noqa: E402
+
+from doc_parser_spark.operators.similarity import (  # noqa: E402
+    ivf_assignments,
+    ivf_train_kmeans,
+)
+
+
+class TestIvfKmeans:
+    def _planted(self, spark, per_cluster=30, dim=8):
+        """Three well-separated direction clusters (axis-aligned cones)."""
+        rows = []
+        for axis in range(3):
+            for j in range(per_cluster):
+                v = [0.05 * ((i * 7 + j) % 5) for i in range(dim)]
+                v[axis] = 10.0 + (j % 3)  # dominant axis => cosine cluster
+                rows.append(Row(vec_id=axis * per_cluster + j, embedding=v))
+        return spark.createDataFrame(rows)
+
+    def test_recovers_planted_clusters(self, spark):
+        df = self._planted(spark)
+        cents = ivf_train_kmeans(df, "vec_id", "embedding", k=3,
+                                 iterations=2, dim=8)
+        assigned = ivf_assignments(df, "vec_id", "embedding", cents)
+        got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+        # every planted cluster maps to exactly one centroid, all three used
+        groups = [
+            {got[i] for i in range(a * 30, (a + 1) * 30)} for a in range(3)
+        ]
+        assert all(len(g) == 1 for g in groups)
+        assert len(set().union(*groups)) == 3
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._planted(spark)
+        a = ivf_train_kmeans(df, "vec_id", "embedding", k=3, iterations=2,
+                             dim=8).collect()
+        b = ivf_train_kmeans(df, "vec_id", "embedding", k=3, iterations=2,
+                             dim=8).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
