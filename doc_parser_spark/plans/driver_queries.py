@@ -3389,3 +3389,115 @@ ORACLE_SIM_IVF_KMEANS = _km_oracle(_KM_K, _KM_ITERS, _KM_DIM)
 
 QUERIES.update({"sim_ivf_kmeans": q_sim_ivf_kmeans})
 ORACLES.update({"sim_ivf_kmeans": ORACLE_SIM_IVF_KMEANS})
+
+
+# ===========================================================================
+# batch 20 — near-dup curation assembly: LSH pairs → connected components →
+# canonical keep → decontaminate → LM quality gate → pack, ONE lineage query
+# over the chain corpus (curate_assemble's exact-dedup is replaced by the
+# transitive near-dup decision; the LM gate is the CCNet-style filter).
+# ===========================================================================
+_LM_NLL_MAX = 3.95  # splits the chain corpus ~165/240; nearest rounded
+# nll is >= 1e-4 away at sf0.001/0.01/0.1, so the 4-dp compare is stable
+
+
+def q_curate_assemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _chain_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(corpus, "doc_id", "payload", threshold=0.2)
+    comps = connected_components(pairs)
+    canon = cluster_canonical(corpus, "doc_id", "payload", comps)
+    dec = decontaminate_ngrams(
+        corpus, corpus.where("doc_id % 37 = 0"), "doc_id", "payload", n=5
+    ).select("doc_id", "contaminated")
+    lm = lm_quality_score(corpus, "doc_id", "payload", vocab_size=256)
+    flags = (
+        canon.join(dec, "doc_id")
+        .join(lm.select("doc_id", "nll"), "doc_id")
+        .withColumn("lm_pass", F.col("nll") <= F.lit(_LM_NLL_MAX))
+    )
+    surv = flags.where("keep AND NOT contaminated AND lm_pass")
+    packed = pack_sequences(
+        surv.join(corpus, "doc_id").select("doc_id", "payload"),
+        "doc_id",
+        "payload",
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    ).select("doc_id", "seq_id", "offset_in_seq")
+    return flags.join(packed, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+        "contaminated",
+        "nll",
+        "lm_pass",
+        F.coalesce("seq_id", F.lit(-1)).cast("long").alias("seq_id"),
+        F.coalesce("offset_in_seq", F.lit(-1)).cast("int").alias("offset_in_seq"),
+    )
+
+
+ORACLE_CURATE_NEARDUP = f"""
+WITH RECURSIVE {_CC_PAIRS_CTES},
+canon AS (
+  SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
+         (row_number() OVER (
+              PARTITION BY coalesce(k.cluster_id, c.doc_id)
+              ORDER BY len(c.payload) DESC, c.doc_id) = 1) AS keep
+  FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+),
+sh5 AS (
+  SELECT doc_id, {_SHINGLE5_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+),
+bl AS (
+  SELECT list(DISTINCT g.ngram) AS grams
+  FROM (SELECT unnest(shingles) AS ngram FROM sh5 WHERE doc_id % 37 = 0) g
+),
+contam AS (
+  SELECT s.doc_id, len(list_intersect(s.shingles, bl.grams)) > 0
+           AS contaminated
+  FROM sh5 s, bl
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(payload),
+                '[^a-z0-9]+'), w -> w <> '')) AS tok
+  FROM corpus
+),
+counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+total AS (SELECT sum(c)::DOUBLE AS t FROM counts),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 256),
+lm AS (
+  SELECT toks.doc_id, round(avg(-ln(coalesce(v.c, 1) / t.t)), 4) AS nll
+  FROM toks LEFT JOIN vocab v USING (tok), total t
+  GROUP BY toks.doc_id
+),
+flags AS (
+  SELECT cn.doc_id, cn.cluster_id, cn.keep, ct.contaminated, lm.nll,
+         lm.nll <= {_LM_NLL_MAX} AS lm_pass
+  FROM canon cn JOIN contam ct USING (doc_id) JOIN lm USING (doc_id)
+),
+surv AS (
+  SELECT f.doc_id, (f.doc_id % {PACK_SHARDS})::INT AS shard,
+         len(string_split(p.payload, ' '))::BIGINT AS tokens
+  FROM flags f JOIN corpus p USING (doc_id)
+  WHERE f.keep AND NOT f.contaminated AND f.lm_pass
+),
+packed AS (
+  SELECT doc_id,
+         (shard::BIGINT * 4294967296 + ((cum - tokens) // {PACK_BUDGET}))
+           AS seq_id,
+         ((cum - tokens) % {PACK_BUDGET})::INT AS off
+  FROM (SELECT doc_id, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM surv)
+)
+SELECT f.doc_id::BIGINT AS doc_id, f.cluster_id::BIGINT AS cluster_id,
+       f.keep, f.contaminated, f.nll, f.lm_pass,
+       coalesce(p.seq_id, -1)::BIGINT AS seq_id,
+       coalesce(p.off, -1)::INT AS offset_in_seq
+FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
+"""
+
+QUERIES["curate_assemble_neardup"] = q_curate_assemble_neardup
+ORACLES["curate_assemble_neardup"] = ORACLE_CURATE_NEARDUP
