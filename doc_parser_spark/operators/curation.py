@@ -236,3 +236,68 @@ def lm_quality_score(
             F.round(F.avg("nll_tok"), 4).alias("nll"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (corpus keyword extraction —
+    the classic retrieval/labeling primitive over the same lowercase
+    alphanumeric tokens as ``lm_quality_score``).
+
+    score(doc, tok) = tf · (ln((N + 1) / (df + 1)) + 1) with smoothed IDF
+    (N = corpus document count, df = documents containing the token).
+    Ranking uses the UNROUNDED score (products of identical doubles are
+    engine-identical — no float-summation order anywhere), ties broken by
+    token text, so the cutoff is deterministic; the emitted score is
+    rounded to 4 dp.
+
+    Output: (id_col, term, rank, score), rank 1..k.
+
+    Scale shape: one (doc, token) count aggregate (map-side combined,
+    exploded tokens are scan-co-located so the exchange carries one row
+    per distinct (doc, token) per partition), one token-level document-
+    frequency aggregate whose result joins back BROADCAST-style only if
+    small — at web scale the (doc_tok ⋈ df) join shuffles on token, rows
+    two-ids-plus-counts wide; the final per-doc top-k window shuffles
+    (id, token, score) once on id. Document text never rides a shuffle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                "w -> w != '')"
+            )
+        ).alias("term"),
+    )
+    doc_tok = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = doc_tok.groupBy("term").agg(
+        F.count("*").cast("double").alias("df_count")
+    )
+    n_docs = df.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("term")
+    )
+    return (
+        doc_tok.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_count") + 1)) + 1),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("_score", 4).alias("score"),
+        )
+    )

@@ -3501,3 +3501,49 @@ FROM flags f LEFT JOIN packed p ON f.doc_id = p.doc_id
 
 QUERIES["curate_assemble_neardup"] = q_curate_assemble_neardup
 ORACLES["curate_assemble_neardup"] = ORACLE_CURATE_NEARDUP
+
+
+# ===========================================================================
+# batch 21 — TF-IDF top-k terms per document
+# ===========================================================================
+from doc_parser_spark.operators.curation import tfidf_top_terms  # noqa: E402
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+ORACLE_TEXT_TFIDF = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            w -> w <> '')) AS term
+  FROM documents
+),
+doc_tok AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+),
+docfreq AS (
+  SELECT term, count(*)::DOUBLE AS df_count FROM doc_tok GROUP BY term
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT dt.doc_id, dt.term,
+         dt.tf * (ln((n.n_docs + 1) / (f.df_count + 1)) + 1) AS s
+  FROM doc_tok dt JOIN docfreq f USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank::INT AS rank, round(s, 4) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["text_tfidf_topk"] = q_text_tfidf_topk
+ORACLES["text_tfidf_topk"] = ORACLE_TEXT_TFIDF

@@ -285,3 +285,34 @@ class TestLmQualityScore:
         assert by_id[1]["n_tokens"] == 3  # one token type 'the', thrice
         assert by_id[1]["nll"] == 0.0  # p('the') = 3/3 = 1
         assert 2 not in by_id  # no tokens -> no row
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms
+# ---------------------------------------------------------------------------
+from doc_parser_spark.operators.curation import tfidf_top_terms
+
+
+class TestTfidfTopTerms:
+    def test_distinctive_term_outranks_ubiquitous(self, spark):
+        # 'shared' appears in every doc (low idf); each doc also has a
+        # unique term which must rank first despite equal tf
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"shared words here unique{i}")
+             for i in range(6)]
+        )
+        rows = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+        top = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+        assert top == {i: f"unique{i}" for i in range(6)}
+
+    def test_tf_weighting_and_rank_bounds(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="aaa aaa aaa bbb"), Row(doc_id=2, text="ccc")]
+        )
+        rows = tfidf_top_terms(docs, "doc_id", "text", k=5).collect()
+        d1 = sorted(
+            [r for r in rows if r["doc_id"] == 1], key=lambda r: r["rank"]
+        )
+        assert [r["term"] for r in d1] == ["aaa", "bbb"]  # tf 3 beats tf 1
+        assert d1[0]["score"] == pytest.approx(3 * d1[1]["score"], abs=1e-3)
+        assert all(r["rank"] <= 5 for r in rows)
