@@ -3547,3 +3547,98 @@ FROM ranked WHERE rank <= 5
 
 QUERIES["text_tfidf_topk"] = q_text_tfidf_topk
 ORACLES["text_tfidf_topk"] = ORACLE_TEXT_TFIDF
+
+
+# ===========================================================================
+# batch 22 — character-trigram Naive-Bayes language ID (train + apply in
+# one plan; upgrade over the stopword-ratio heuristic of text_lang_id)
+# ===========================================================================
+from doc_parser_spark.operators.curation import lang_id_ngram  # noqa: E402
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_id_trigram_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    return lang_id_ngram(docs, "doc_id", "text", "lang", _LANGS)
+
+
+def _lang_nb_oracle(
+    langs: list[str], prefix: int = 200, vocab_size: int = 4096
+) -> str:
+    c_cols = ",\n         ".join(
+        f"sum(CASE WHEN _lang = '{l}' THEN 1 ELSE 0 END)::BIGINT AS c_{i}"
+        for i, l in enumerate(langs)
+    )
+    t_cols = ",\n         ".join(
+        f"sum(CASE WHEN _lang = '{l}' THEN 1 ELSE 0 END)::DOUBLE AS t_{i}"
+        for i, l in enumerate(langs)
+    )
+    d_cols = ",\n         ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END)::DOUBLE AS d_{i}"
+        for i, l in enumerate(langs)
+    )
+    ll_cols = ",\n         ".join(
+        f"sum(ln((coalesce(c.c_{i}, 0) + 1) / (t.t_{i} + t.v))) AS ll_{i}"
+        for i in range(len(langs))
+    )
+    cand = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{l}' AS lang, ln(p.d_{i} / p.n_docs) + ll_{i} "
+        f"AS score FROM lls, priors p"
+        for i, l in enumerate(langs)
+    )
+    return f"""
+WITH grams AS (
+  SELECT doc_id::BIGINT AS doc_id, _lang,
+         unnest([substr(s, i, 3) for i in range(1, len(s) - 1)]) AS g
+  FROM (SELECT doc_id, lang AS _lang,
+               lower(substr(text, 1, {prefix})) AS s FROM documents)
+),
+counts_all AS (
+  SELECT g,
+         {c_cols}
+  FROM grams GROUP BY g
+),
+counts AS (
+  SELECT * FROM counts_all
+  ORDER BY ({" + ".join(f"c_{i}" for i in range(len(langs)))}) DESC, g
+  LIMIT {vocab_size}
+),
+totals AS (
+  SELECT count(DISTINCT g)::DOUBLE AS v,
+         {t_cols}
+  FROM grams
+),
+priors AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         {d_cols}
+  FROM documents
+),
+lls AS (
+  SELECT dg.doc_id,
+         {ll_cols}
+  FROM grams dg LEFT JOIN counts c USING (g), totals t
+  GROUP BY dg.doc_id
+),
+cand AS (
+{cand}
+),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(score, 6) DESC, lang) AS rk
+    FROM cand) WHERE rk = 1
+)
+SELECT b.doc_id, b.lang AS pred_lang, round(b.score, 4) AS score,
+       b.lang = d.lang AS is_correct
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+"""
+
+
+ORACLE_LANG_ID_NB = _lang_nb_oracle(_LANGS)
+
+QUERIES["lang_id_trigram_nb"] = q_lang_id_trigram_nb
+ORACLES["lang_id_trigram_nb"] = ORACLE_LANG_ID_NB

@@ -316,3 +316,40 @@ class TestTfidfTopTerms:
         assert [r["term"] for r in d1] == ["aaa", "bbb"]  # tf 3 beats tf 1
         assert d1[0]["score"] == pytest.approx(3 * d1[1]["score"], abs=1e-3)
         assert all(r["rank"] <= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# char-trigram Naive-Bayes language ID
+# ---------------------------------------------------------------------------
+from doc_parser_spark.operators.curation import lang_id_ngram
+
+
+class TestLangIdNgram:
+    def test_separable_scripts_self_train(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text="der die das und nicht aber", lang="de")
+             for i in range(5)]
+            + [Row(doc_id=10 + i, text="the quick brown fox jumps", lang="en")
+               for i in range(5)]
+            + [Row(doc_id=20 + i, text="el rapido zorro marron salta", lang="es")
+               for i in range(5)]
+        )
+        out = lang_id_ngram(
+            docs, "doc_id", "text", "lang", ["de", "en", "es"]
+        ).collect()
+        assert len(out) == 15
+        assert all(r["is_correct"] for r in out)
+
+    def test_short_text_dropped_and_determinism(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="ab", lang="en"),
+             Row(doc_id=2, text="plenty of english words here", lang="en"),
+             Row(doc_id=3, text="noch mehr deutsche woerter hier", lang="de")]
+        )
+        a = lang_id_ngram(docs, "doc_id", "text", "lang", ["de", "en"])
+        got = {r["doc_id"]: r["pred_lang"] for r in a.collect()}
+        assert 1 not in got  # < 3 chars -> no trigrams -> no row
+        b = {r["doc_id"]: r["pred_lang"]
+             for r in lang_id_ngram(docs, "doc_id", "text", "lang",
+                                    ["de", "en"]).collect()}
+        assert got == b
