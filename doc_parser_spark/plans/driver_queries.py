@@ -3642,3 +3642,40 @@ ORACLE_LANG_ID_NB = _lang_nb_oracle(_LANGS)
 
 QUERIES["lang_id_trigram_nb"] = q_lang_id_trigram_nb
 ORACLES["lang_id_trigram_nb"] = ORACLE_LANG_ID_NB
+
+
+# ===========================================================================
+# batch 23 — embedding-space duplicate clusters: the CC operator composes
+# unchanged over EMBEDDING near-dup edges (same transitive decision as the
+# text path; closure-safe here — components stay small, verified ≤30
+# vectors at sf0.1)
+# ===========================================================================
+def q_dedup_embedding_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=6)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+ORACLE_DEDUP_EMB_CC = f"""
+WITH RECURSIVE pairs AS ({ORACLE_DEDUP_EMB_LSH}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src::BIGINT AS vec_id, least(src, min(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src
+"""
+
+QUERIES["dedup_embedding_cc"] = q_dedup_embedding_cc
+ORACLES["dedup_embedding_cc"] = ORACLE_DEDUP_EMB_CC
