@@ -119,3 +119,53 @@ class TestExactDedupPlan:
             F.sum(F.col("keep").cast("int")).alias("n_keep")
         )
         assert per_hash.where(F.col("n_keep") != 1).count() == 0
+
+
+class TestCurationLayerPlans:
+    """Plan-shape guards for the round-3 corpus-analysis operators: the
+    broadcast/no-cartesian/bounded-lineage claims in docs/PLANS.md §11-13
+    and docs/SCALE.md, asserted against the actual physical plans."""
+
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=f"some shared words plus unique{i} token",
+                 lang="en" if i % 2 else "de")
+             for i in range(40)]
+        )
+
+    def test_lm_vocab_join_is_broadcast(self, docs):
+        from doc_parser_spark.operators.curation import lm_quality_score
+
+        plan = _plan(lm_quality_score(docs, "doc_id", "text", vocab_size=8))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lang_id_model_join_is_broadcast(self, docs):
+        from doc_parser_spark.operators.curation import lang_id_ngram
+
+        plan = _plan(
+            lang_id_ngram(docs, "doc_id", "text", "lang", ["de", "en"])
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tfidf_no_cartesian(self, docs):
+        from doc_parser_spark.operators.curation import tfidf_top_terms
+
+        plan = _plan(tfidf_top_terms(docs, "doc_id", "text", k=3))
+        assert "CartesianProduct" not in plan
+
+    def test_cc_lineage_stays_bounded(self, spark):
+        """The localCheckpoint contract: plan size after a 7-round path-
+        graph convergence must stay flat (the pre-fix exponential lineage
+        overflowed the driver stack at this very shape)."""
+        from doc_parser_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [Row(a_id=i, b_id=i + 1) for i in range(1, 8)],
+            "a_id LONG, b_id LONG",
+        )
+        out = connected_components(edges)
+        assert len(_plan(out)) < 20_000
+        assert {r["cluster_id"] for r in out.collect()} == {1}
