@@ -440,3 +440,67 @@ def lang_id_ngram(
         "score",
         (F.col("pred_lang") == F.col("_true")).alias("is_correct"),
     )
+
+
+def pack_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = DEFAULT_PACK_BUDGET,
+    n_shards: int = DEFAULT_PACK_SHARDS,
+) -> DataFrame:
+    """The materialized form of ``pack_sequences``: one row per
+    (document, training sequence) with the exact token range — what a
+    trainer actually consumes. A document crossing sequence boundaries is
+    SPLIT: every row covers tokens [tok_start, tok_end) of the document,
+    rows concatenate to exactly the document, and every sequence in a
+    shard except the last is filled to exactly ``budget`` tokens.
+
+    Output: (id_col, seq_id, tok_start, tok_end, offset_in_seq), all pure
+    integer arithmetic — bit-identical across engines and runs.
+
+    Scale shape: same single exchange on the shard key as
+    ``pack_sequences`` plus a row-local explode over the sequences a
+    document spans (a document emits ceil(tokens/budget)+1 rows at most —
+    bounded by document size, independent of corpus size).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tokens").over(win)
+    spans = toks.select(
+        F.col(id_col),
+        "shard",
+        "tokens",
+        (cum - F.col("tokens")).alias("start"),
+        cum.alias("cum"),
+    ).select(
+        F.col(id_col),
+        "shard",
+        "start",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / budget),
+                F.floor((F.col("cum") - 1) / budget),
+            )
+        ).alias("s"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("s") * budget)
+    seg_end = F.least(F.col("cum"), (F.col("s") + 1) * budget)
+    return spans.select(
+        F.col(id_col),
+        (F.col("shard").cast("long") * F.lit(2**32) + F.col("s"))
+        .cast("long")
+        .alias("seq_id"),
+        (seg_start - F.col("start")).cast("int").alias("tok_start"),
+        (seg_end - F.col("start")).cast("int").alias("tok_end"),
+        (seg_start - F.col("s") * budget).cast("int").alias("offset_in_seq"),
+    )

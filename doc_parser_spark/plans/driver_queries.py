@@ -3679,3 +3679,49 @@ FROM reach GROUP BY src
 
 QUERIES["dedup_embedding_cc"] = q_dedup_embedding_cc
 ORACLES["dedup_embedding_cc"] = ORACLE_DEDUP_EMB_CC
+
+
+# ===========================================================================
+# batch 24 — materialized packing segments (the trainer-facing split form)
+# ===========================================================================
+from doc_parser_spark.operators.curation import pack_segments  # noqa: E402
+
+
+def q_curate_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return pack_segments(
+        docs, "doc_id", "text", budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+
+
+ORACLE_PACK_SEGMENTS = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS tokens
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, shard, cum - tokens AS st, cum,
+         unnest(range(((cum - tokens) // {PACK_BUDGET})::BIGINT,
+                      ((cum - 1) // {PACK_BUDGET} + 1)::BIGINT)) AS s
+  FROM spans
+)
+SELECT doc_id,
+       (shard::BIGINT * 4294967296 + s)::BIGINT AS seq_id,
+       (greatest(st, s * {PACK_BUDGET}) - st)::INT AS tok_start,
+       (least(cum, (s + 1) * {PACK_BUDGET}) - st)::INT AS tok_end,
+       (greatest(st, s * {PACK_BUDGET}) - s * {PACK_BUDGET})::INT
+         AS offset_in_seq
+FROM seg
+"""
+
+QUERIES["curate_pack_segments"] = q_curate_pack_segments
+ORACLES["curate_pack_segments"] = ORACLE_PACK_SEGMENTS

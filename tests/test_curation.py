@@ -353,3 +353,63 @@ class TestLangIdNgram:
              for r in lang_id_ngram(docs, "doc_id", "text", "lang",
                                     ["de", "en"]).collect()}
         assert got == b
+
+
+# ---------------------------------------------------------------------------
+# pack_segments — materialized packing splits
+# ---------------------------------------------------------------------------
+from doc_parser_spark.operators.curation import pack_segments
+
+
+class TestPackSegments:
+    def test_segments_cover_docs_and_fill_budget(self, spark):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["w"] * (3 + (i * 7) % 11)))
+             for i in range(40)]
+        )
+        segs = pack_segments(docs, "doc_id", "text", budget=8, n_shards=4)
+        rows = segs.collect()
+        n_tokens = {i: 3 + (i * 7) % 11 for i in range(40)}
+        # 1. concatenated segments reproduce every document exactly
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["tok_start"])
+            assert rs[0]["tok_start"] == 0
+            assert rs[-1]["tok_end"] == n_tokens[d]
+            for a, b in zip(rs, rs[1:]):
+                assert a["tok_end"] == b["tok_start"]
+        assert set(by_doc) == set(n_tokens)
+        # 2. every sequence except each shard's last is filled to budget
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r["seq_id"], 0)
+            by_seq[r["seq_id"]] += r["tok_end"] - r["tok_start"]
+        for shard in {s >> 32 for s in by_seq}:
+            seqs = sorted(s for s in by_seq if s >> 32 == shard)
+            assert all(by_seq[s] == 8 for s in seqs[:-1])
+            assert 0 < by_seq[seqs[-1]] <= 8
+        # 3. offsets stay inside the budget
+        assert all(0 <= r["offset_in_seq"] < 8 for r in rows)
+
+    def test_consistent_with_pack_sequences(self, spark):
+        from doc_parser_spark.operators.curation import pack_sequences
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["w"] * (1 + (i * 5) % 9)))
+             for i in range(30)]
+        )
+        seq = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["straddles"])
+               for r in pack_sequences(docs, "doc_id", "text", budget=8,
+                                       n_shards=4).collect()}
+        first = {}
+        counts = {}
+        for r in pack_segments(docs, "doc_id", "text", budget=8,
+                               n_shards=4).collect():
+            counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+            if r["tok_start"] == 0:
+                first[r["doc_id"]] = (r["seq_id"], r["offset_in_seq"])
+        for d, (sid, off, straddles) in seq.items():
+            assert first[d] == (sid, off)
+            assert (counts[d] > 1) == straddles
