@@ -244,7 +244,10 @@ def connected_components(
     al. "Finding Connected Components in Map-Reduce in Logarithmic Rounds";
     no GraphFrames jar needed): every vertex starts labelled with itself and
     each round adopts the minimum label among itself and its neighbours,
-    until a round changes nothing.
+    then POINTER-JUMPS (path halving: also adopt its label's label — one
+    extra constant-width self-join that turns worst-case convergence from
+    O(diameter) into O(log diameter), so a long chain of near-dups cannot
+    exhaust the round cap), until a round changes nothing.
 
     Output: (id, cluster_id) for every vertex in the edge list, cluster_id =
     the minimum vertex id of its component. Vertices with no edges are the
@@ -292,6 +295,22 @@ def connected_components(
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("mid_label"),
+            )
+            # pointer jump (path halving): label values are themselves
+            # vertex ids of the same component, so following one hop stays
+            # inside the component and can only lower the label
+            hop = step.select(
+                F.col("id").alias("jid"), F.col("mid_label").alias("jlabel")
+            )
+            step = step.join(
+                hop, step["mid_label"] == hop["jid"], "left"
+            ).select(
+                "id",
+                "label",
+                F.least(
+                    F.col("mid_label"),
+                    F.coalesce(F.col("jlabel"), F.col("mid_label")),
                 ).alias("new_label"),
             ).localCheckpoint(eager=True)
             changed = step.where(F.col("new_label") < F.col("label")).count()

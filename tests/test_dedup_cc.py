@@ -109,3 +109,13 @@ class TestClusterCanonical:
             for r in cluster_canonical(docs, "doc_id", "payload", comps).collect()
         }
         assert got == {2: True, 4: False}
+
+
+class TestPointerJumping:
+    def test_long_chain_converges_within_log_rounds(self, spark):
+        # a 64-node path has diameter 63: pure neighbour propagation would
+        # need >25 rounds (the cap); path halving converges in O(log n)
+        edges = _pairs(spark, [(i, i + 1) for i in range(1, 64)])
+        got = _labels(connected_components(edges, max_iterations=25))
+        assert set(got.values()) == {1}
+        assert len(got) == 64
