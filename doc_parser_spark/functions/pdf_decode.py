@@ -1290,7 +1290,33 @@ def _logical_order(entries: list[str]) -> str:
     return "".join(out)
 
 
+# shadow-glyph suppression: a glyph re-rendered at (nearly) the same spot as
+# the previous identical glyph is a double-render (fake-bold / kashida
+# elongation artifacts), not a second character — pdfium's text page drops
+# these, so the reference's textline groundtruth never contains them. Drop
+# when the same unicode repeats within SHADOW_OVERLAP of the previous
+# glyph's width on the same baseline (rtl_02 textline sim 0.79 → 0.91; no
+# effect on any other fixture).
+SHADOW_OVERLAP = 0.25
+
+
+def _drop_shadow_glyphs(glyphs: list[_Glyph]) -> list[_Glyph]:
+    out: list[_Glyph] = []
+    for g in glyphs:
+        if out:
+            p = out[-1]
+            if (
+                g.text == p.text
+                and abs(g.y0 - p.y0) < 0.3
+                and abs(g.x0 - p.x0) < SHADOW_OVERLAP * max(p.x1 - p.x0, 1e-6)
+            ):
+                continue
+        out.append(g)
+    return out
+
+
 def _assemble_cells(glyphs: list[_Glyph]) -> list[tuple[float, float, float, float, str]]:
+    glyphs = _drop_shadow_glyphs(glyphs)
     cells = []
     cur: Optional[list] = None  # [x0,y0,x1,y1,baseline,size,chars]
     for g in glyphs:

@@ -59,16 +59,17 @@ def _norm(s: str) -> str:
 # minimum whole-page similarity. The three right_to_left_* fixtures
 # exercise the glyph-level visual→logical bidi reorder (ligature
 # expansions stay intact through the reversal; LTR runs un-reverse).
-# Residual gaps, measured and accepted: rtl_02 — tatweel-elongation glyph
-# repeats differ from the groundtruth's own inconsistent counts, and the
-# groundtruth renders "( - 2024 )2026" for a parenthesized year range;
+# Residual gaps, measured and accepted: rtl_02 — after shadow-glyph
+# suppression (pdf_decode._drop_shadow_glyphs) the remaining delta is the
+# groundtruth's own inconsistent elongation counts plus its
+# "( - 2024 )2026" rendering of a parenthesized year range;
 # rtl_03 — three intra-word spaces around lam-alef ligatures.
 TEXTLINE_MIN_SIM = {
     "2305.03393v1-pg9": 0.99,
     "amt_handbook_sample": 0.99,
     "picture_classification": 0.999,  # exact 1.0 after SPACE_GAP synthesis
     "right_to_left_01": 0.99,
-    "right_to_left_02": 0.75,
+    "right_to_left_02": 0.88,
     "right_to_left_03": 0.90,
 }
 
