@@ -1290,6 +1290,82 @@ def _logical_order(entries: list[str]) -> str:
     return "".join(out)
 
 
+def _merge_ltr_chains(
+    cells: list[tuple[float, float, float, float, str]],
+) -> list[tuple[float, float, float, float, str]]:
+    """Order-preserving merge of x-adjacent LTR-safe cell fragments.
+
+    RTL content streams often emit the pieces of an embedded LTR run
+    (dates "1403/09/19", percentages "%50") as interleaved text objects,
+    so in-emission-order assembly leaves them as separate fragments even
+    though they are contiguous on the page; docling-parse's groundtruth
+    has them as one logical cell. Full x-sorting before assembly is NOT an
+    option (it destroys line grouping — measured 0.99 → 0.11 on
+    amt_handbook), so this pass only merges chains of same-baseline,
+    x-adjacent (gap ≤ GAP_CONT em) cells that contain NO RTL characters,
+    in x order, placing the merged cell at the earliest member's emission
+    position — every other cell keeps its emission order (rtl_03 textline
+    sim 0.93 → 0.98; no effect on any other fixture).
+    """
+    n = len(cells)
+    ltr = [
+        i
+        for i, c in enumerate(cells)
+        if c[4].strip() and not _RTL_RE.search(c[4])
+    ]
+    used: set[int] = set()
+    chains: list[list[int]] = []
+    for i in sorted(ltr, key=lambda i: (cells[i][1], cells[i][0])):
+        if i in used:
+            continue
+        h_i = cells[i][3] - cells[i][1]
+        line = [
+            j
+            for j in ltr
+            if j not in used
+            and abs(cells[j][1] - cells[i][1])
+            < 0.4 * max(h_i, cells[j][3] - cells[j][1])
+        ]
+        line.sort(key=lambda j: cells[j][0])
+        chain = [line[0]]
+        for j in line[1:]:
+            prev = chain[-1]
+            h = max(
+                cells[prev][3] - cells[prev][1],
+                cells[j][3] - cells[j][1],
+                1e-6,
+            )
+            gap = cells[j][0] - cells[prev][2]
+            if -0.6 * h <= gap <= GAP_CONT * h:
+                chain.append(j)
+            else:
+                if len(chain) > 1:
+                    chains.append(chain)
+                chain = [j]
+        if len(chain) > 1:
+            chains.append(chain)
+        used.update(line)
+    drop: set[int] = set()
+    out = {i: c for i, c in enumerate(cells)}
+    for chain in chains:
+        first = min(chain)
+        x0 = min(cells[j][0] for j in chain)
+        x1 = max(cells[j][2] for j in chain)
+        y0 = min(cells[j][1] for j in chain)
+        y1 = max(cells[j][3] for j in chain)
+        h = max(y1 - y0, 1e-6)
+        parts: list[str] = []
+        prev = None
+        for j in sorted(chain, key=lambda j: cells[j][0]):
+            if prev is not None and cells[j][0] - cells[prev][2] > SPACE_GAP * h:
+                parts.append(" ")
+            parts.append(cells[j][4])
+            prev = j
+        out[first] = (x0, y0, x1, y1, "".join(parts))
+        drop.update(j for j in chain if j != first)
+    return [out[i] for i in range(n) if i not in drop]
+
+
 # shadow-glyph suppression: a glyph re-rendered at (nearly) the same spot as
 # the previous identical glyph is a double-render (fake-bold / kashida
 # elongation artifacts), not a second character — pdfium's text page drops
@@ -1395,7 +1471,9 @@ def decode_pdf_pages(data: bytes):
         except PdfError:
             continue
         interp.run(content, _IDENT)
-        for x0, y0, x1, y1, text in _assemble_cells(interp.glyphs):
+        for x0, y0, x1, y1, text in _merge_ltr_chains(
+            _assemble_cells(interp.glyphs)
+        ):
             # normalize to the crop box, flip to top-left origin, rotate
             x0, y0, x1, y1 = x0 - x_off, y0 - y_off, x1 - x_off, y1 - y_off
             if rotate == 90:

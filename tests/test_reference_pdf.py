@@ -63,14 +63,16 @@ def _norm(s: str) -> str:
 # suppression (pdf_decode._drop_shadow_glyphs) the remaining delta is the
 # groundtruth's own inconsistent elongation counts plus its
 # "( - 2024 )2026" rendering of a parenthesized year range;
-# rtl_03 — three intra-word spaces around lam-alef ligatures.
+# rtl_03 — after the LTR-chain merge (pdf_decode._merge_ltr_chains) the
+# residual is a handful of neutral-run placements the groundtruth derives
+# from full UBA rules.
 TEXTLINE_MIN_SIM = {
     "2305.03393v1-pg9": 0.99,
     "amt_handbook_sample": 0.99,
     "picture_classification": 0.999,  # exact 1.0 after SPACE_GAP synthesis
     "right_to_left_01": 0.99,
     "right_to_left_02": 0.88,
-    "right_to_left_03": 0.90,
+    "right_to_left_03": 0.97,
 }
 
 
