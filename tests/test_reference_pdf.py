@@ -235,3 +235,38 @@ def test_word_envelope_vs_docling_md(name):
     floor = WORD_ENVELOPE[name]
     assert precision >= floor, f"{name} precision {precision:.4f}"
     assert recall >= floor, f"{name} recall {recall:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# property fuzz for the order-preserving LTR-chain merge
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_parser_spark.functions.pdf_decode import _merge_ltr_chains
+
+_cell = st.tuples(
+    st.floats(0, 500, allow_nan=False),          # x0
+    st.sampled_from([100.0, 100.1, 112.0, 130.0]),  # y0 (a few baselines)
+    st.floats(0, 40, allow_nan=False),           # width
+    st.sampled_from([10.0, 12.0]),               # height
+    st.sampled_from(["abc", "12", "/", "%", "نص", "كلمة", " ", "x5"]),
+).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3], t[4]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_cell, max_size=12))
+def test_ltr_chain_merge_properties(cells):
+    out = _merge_ltr_chains(cells)
+    join = lambda cs: "".join(c[4] for c in cs)
+    # non-space character multiset is conserved (merge only adds spaces)
+    from collections import Counter
+    assert Counter(join(out).replace(" ", "")) == Counter(
+        join(cells).replace(" ", "")
+    )
+    # RTL-bearing cells are never merged, dropped, or reordered
+    rtl_in = [c[4] for c in cells if any("֐" <= ch <= "ࣿ" for ch in c[4])]
+    rtl_out = [c[4] for c in out if any("֐" <= ch <= "ࣿ" for ch in c[4])]
+    assert rtl_in == rtl_out
+    # idempotent: a second pass changes nothing
+    assert _merge_ltr_chains(out) == out
