@@ -261,3 +261,256 @@ def parse_mp4_meta(payload: bytes) -> dict:
     if duration_s is None:
         raise MediaDecodeError("no mvhd box")
     return {"brand": brand, "duration_s": duration_s, "n_tracks": n_tracks}
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, SOF0/SOF1)
+# ---------------------------------------------------------------------------
+# From-scratch ITU-T T.81 baseline decoder: marker parse, DQT/DHT tables,
+# entropy-coded segments with byte unstuffing and DRI/RSTn restart
+# intervals, per-MCU Huffman decode of all components, dequant + dezigzag +
+# 2-D IDCT of the LUMA blocks (chroma blocks are entropy-decoded to keep
+# the bitstream in sync but not reconstructed — the surface reports
+# (width, height, mean_luma) and mean luma is the Y plane by definition).
+# Progressive (SOF2) and arithmetic coding raise MediaDecodeError.
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_IDCT_A = None
+
+
+def _idct_basis() -> np.ndarray:
+    global _IDCT_A
+    if _IDCT_A is None:
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        a[0, :] *= 1 / np.sqrt(2)
+        _IDCT_A = a
+    return _IDCT_A
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, per T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad past EOS, per spec behaviour on truncation
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("bad Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def _decode_block(br, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.int64)
+    s = br.read_symbol(dc_tab)
+    diff = _extend(br.read_bits(s), s) if s else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise MediaDecodeError("AC run past block end")
+        coef[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
+    """Baseline JPEG bytes → (width, height, mean_luma in [0,1])."""
+    if payload[:2] != JPEG_MAGIC:
+        raise MediaDecodeError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff = {0: {}, 1: {}}  # class → id → table
+    frame = None
+    dri = 0
+    scan = None
+    i = 2
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            raise MediaDecodeError("marker expected")
+        m = payload[i + 1]
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        length = (payload[i + 2] << 8) | payload[i + 3]
+        seg = payload[i + 4 : i + 2 + length]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tab = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                else:
+                    tab = np.frombuffer(
+                        seg[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 64
+                qt[tq] = tab
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                huff[tc][th] = _build_huffman(bits, vals)
+                p += 17 + nv
+        elif m in (0xC0, 0xC1):
+            h = (seg[1] << 8) | seg[2]
+            w = (seg[3] << 8) | seg[4]
+            comps = []
+            for c in range(seg[5]):
+                cid = seg[6 + 3 * c]
+                samp = seg[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, seg[8 + 3 * c]))
+            frame = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise MediaDecodeError(f"unsupported JPEG frame FF{m:02X}")
+        elif m == 0xDD:
+            dri = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                scan_comps.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                                   seg[2 + 2 * c] & 15))
+            scan = (scan_comps, i + 2 + length)
+            break
+        i += 2 + length
+    if frame is None or scan is None:
+        raise MediaDecodeError("missing SOF/SOS")
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise MediaDecodeError("empty frame")
+    scan_comps, data_start = scan
+
+    # entropy segments split on RSTn, bytes unstuffed
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_by_id = {c[0]: c for c in comps}
+    luma_id = comps[0][0]
+    _, lh, lv, ltq = comp_by_id[luma_id]
+    yw, yh = mcux * lh * 8, mcuy * lv * 8
+    yplane = np.zeros((yh, yw), dtype=np.float64)
+    A = _idct_basis()
+
+    seg_idx = 0
+    br = _JpegBits(segments[0])
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise MediaDecodeError("missing restart segment")
+                br = _JpegBits(segments[seg_idx])
+                preds = {cid: 0 for cid, _, _ in scan_comps}
+            for cid, td, ta in scan_comps:
+                _, hi, vi, tq = comp_by_id[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef, preds[cid] = _decode_block(
+                            br, huff[0][td], huff[1][ta], preds[cid]
+                        )
+                        if cid != luma_id:
+                            continue
+                        dq = coef * qt[tq]
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_JPEG_ZIGZAG] = dq
+                        spatial = A.T @ block.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        yplane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    vis = np.clip(yplane[:h, :w], 0.0, 255.0)
+    return w, h, float(vis.mean() / 255.0)

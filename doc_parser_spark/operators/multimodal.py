@@ -86,12 +86,14 @@ def _pil_decode_image(payload: bytes) -> tuple[int, int, float]:  # pragma: no c
 
 
 def _stdlib_decode_image(payload: bytes):
-    """Real stdlib decode for PNG/BMP; other formats fall back to the
-    deterministic stub (flagged per row as 'stub_decoded'). Returns
-    (width, height, mean_luma, status)."""
+    """Real stdlib decode for PNG/BMP/baseline-JPEG; other formats fall
+    back to the deterministic stub (flagged per row as 'stub_decoded').
+    Returns (width, height, mean_luma, status)."""
     from doc_parser_spark.functions.media_decode import (
+        JPEG_MAGIC,
         PNG_MAGIC,
         decode_bmp,
+        decode_jpeg,
         decode_png,
     )
 
@@ -100,6 +102,9 @@ def _stdlib_decode_image(payload: bytes):
         return w, h, luma, "decoded"
     if payload[:2] == b"BM":
         w, h, luma = decode_bmp(payload)
+        return w, h, luma, "decoded"
+    if payload[:2] == JPEG_MAGIC:
+        w, h, luma = decode_jpeg(payload)
         return w, h, luma, "decoded"
     w, h, luma = _fake_decode_image(payload)
     return w, h, luma, "stub_decoded"

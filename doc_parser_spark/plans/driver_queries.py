@@ -3725,3 +3725,32 @@ FROM seg
 
 QUERIES["curate_pack_segments"] = q_curate_pack_segments
 ORACLES["curate_pack_segments"] = ORACLE_PACK_SEGMENTS
+
+
+# ===========================================================================
+# batch 25 — REAL baseline-JPEG decode (T.81 from scratch: Huffman + DCT).
+# The builder emits per-8x8-block-constant grayscale JPEGs with EVEN luma
+# values: a constant block is DC-only and an even value quantizes exactly
+# (DC = 8*(c-128), step 16), so the lossy format round-trips bit-exactly
+# and the oracle is closed-form.
+# ===========================================================================
+q_m4_jpeg_decode = _media_query("image", "build_jpeg", _q_m1)
+
+ORACLE_M4_JPEG = """
+SELECT doc_id::BIGINT AS doc_id,
+       24::INT AS width,
+       16::INT AS height,
+       round((
+         (2 * ((doc_id * 7 +  0) % 128)) +
+         (2 * ((doc_id * 7 + 11) % 128)) +
+         (2 * ((doc_id * 7 + 22) % 128)) +
+         (2 * ((doc_id * 7 + 33) % 128)) +
+         (2 * ((doc_id * 7 + 44) % 128)) +
+         (2 * ((doc_id * 7 + 55) % 128))
+       ) / 6.0 / 255.0, 4) AS mean_luma,
+       'decoded' AS decode_status
+FROM documents
+"""
+
+QUERIES["m4_jpeg_decode"] = q_m4_jpeg_decode
+ORACLES["m4_jpeg_decode"] = ORACLE_M4_JPEG

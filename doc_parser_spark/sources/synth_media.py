@@ -141,3 +141,130 @@ def build_mp4(doc_id: int) -> bytes:
     moov = box(b"moov", mvhd + traks)
     mdat = box(b"mdat", bytes((doc_id + i) % 256 for i in range(32)))
     return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline grayscale encoder, T.81 Annex K tables)
+# ---------------------------------------------------------------------------
+# Per-8x8-block-constant images round-trip EXACTLY through baseline JPEG:
+# a constant block's DCT is DC-only (AC all zero), and an even luma value
+# makes the DC coefficient an exact multiple of the quantizer step
+# (DC = 8*(c-128); step 16 ⇒ (c-128)/2 integer for even c), so the decoder
+# reconstructs the exact input — which is what gives the m4 contract query
+# a closed-form oracle despite JPEG being lossy in general.
+
+_JPG_QL = [  # Annex K luminance quantization, zigzag order step[0]=16
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length, code):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+def encode_jpeg_gray_blocks(block_vals) -> bytes:
+    """Grayscale baseline JPEG from a 2-D grid of per-8x8-block EVEN luma
+    values (rows × cols of blocks). Exactly reconstructable: every block
+    is constant, so only the DC coefficient is coded."""
+    import numpy as np
+
+    grid = np.asarray(block_vals, dtype=np.int64)
+    by, bx = grid.shape
+    h, w = by * 8, bx * 8
+    dc_codes = _jpeg_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _jpeg_codes(_AC_BITS, _AC_VALS)
+    seg = bytearray()
+    seg += b"\xff\xd8"
+    seg += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(_JPG_QL)
+    seg += (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+            + bytes([1, 0x11, 0]))
+    seg += (b"\xff\xc4" + struct.pack(">H", 19 + len(_DC_VALS) - 12 + 12)
+            + bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    seg += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_AC_VALS))
+            + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    seg += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bw = _JpegBitWriter()
+    pred = 0
+    for r in range(by):
+        for c in range(bx):
+            v = int(grid[r, c])
+            if v % 2 or not 0 <= v <= 255:
+                raise ValueError("block values must be even in [0, 255]")
+            dc = (v - 128) * 8 // 16  # quantized DC, exact for even v
+            diff = dc - pred
+            pred = dc
+            mag = abs(diff)
+            s = mag.bit_length()
+            bw.write(*dc_codes[s]) if s else bw.write(*dc_codes[0])
+            if s:
+                bits = diff if diff > 0 else diff + (1 << s) - 1
+                bw.write(s, bits)
+            bw.write(*ac_codes[0x00])  # EOB
+    bw.flush()
+    seg += bw.out
+    seg += b"\xff\xd9"
+    return bytes(seg)
+
+
+def build_jpeg(doc_id: int) -> bytes:
+    """Deterministic per-doc JPEG: 2×3 blocks (16×24 px), each block's even
+    luma derived from doc_id — closed-form mean for the m4 oracle:
+    mean = (Σ blocks)/6, blocks b(k) = 2*((doc_id*7 + k*11) % 128)."""
+    vals = [[2 * ((doc_id * 7 + (r * 3 + c) * 11) % 128) for c in range(3)]
+            for r in range(2)]
+    return encode_jpeg_gray_blocks(vals)

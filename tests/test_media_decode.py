@@ -106,8 +106,10 @@ class TestOperators:
         rows = []
         for i in range(12):
             rows.append((i, f"c{i}", 0, "image", build_png(i), None))
-        rows.append((100, "c", 0, "image", b"\xff\xd8\xff\xe0 jpeg-ish", None))
+        rows.append((100, "c", 0, "image", b"GIF87a tiny-gif-ish", None))
         rows.append((101, "c", 0, "image", None, None))
+        rows.append((104, "c", 0, "image", b"\xff\xd8\xff\xe0 truncated jpeg", None))
+        rows.append((105, "c", 0, "image", build_jpeg(77), None))
         for i in range(12, 20):
             rows.append((i, f"c{i}", 0, "audio", build_wav(i), None))
         rows.append((102, "c", 0, "audio", b"not audio", None))
@@ -127,8 +129,15 @@ class TestOperators:
             assert r["decode_status"] == "decoded"
             assert (r["width"], r["height"]) == (16 + i % 32, 8 + i % 16)
             assert r["mean_luma"] == pytest.approx((i % 256) / 255.0, abs=1e-6)
-        assert out[100]["decode_status"] == "stub_decoded"  # JPEG → stub seam
+        assert out[100]["decode_status"] == "stub_decoded"  # GIF → stub seam
         assert out[101]["decode_status"] == "skipped"
+        assert out[104]["decode_status"] == "failure"  # broken JPEG is a
+        # failure now that the real decoder owns the magic, never a stub
+        r = out[105]  # real baseline JPEG decodes for real
+        exp = sum(2 * ((77 * 7 + k * 11) % 128) for k in range(6)) / 6 / 255
+        assert r["decode_status"] == "decoded"
+        assert (r["width"], r["height"]) == (24, 16)
+        assert r["mean_luma"] == pytest.approx(exp, abs=1e-6)  # float32 column
 
     def test_audio_statuses_and_values(self, media):
         from doc_parser_spark.operators.multimodal import audio_features
@@ -153,3 +162,65 @@ class TestOperators:
             assert r["brand"] == "isom"
             assert r["n_tracks"] == 1 + i % 3
         assert out[103]["decode_status"] == "failure"
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (T.81): real-sample pin + exact roundtrip fuzz
+# ---------------------------------------------------------------------------
+from pathlib import Path
+
+from hypothesis import given as h_given
+from hypothesis import settings as h_settings
+from hypothesis import strategies as h_st
+
+from doc_parser_spark.functions.media_decode import decode_jpeg
+from doc_parser_spark.sources.synth_media import (
+    build_jpeg,
+    encode_jpeg_gray_blocks,
+)
+
+_JPEG_SAMPLE = Path(
+    "/root/reference/genon/preprocessor/sample_files/jpeg_sample.jpeg"
+)
+
+
+class TestJpeg:
+    @pytest.mark.skipif(not _JPEG_SAMPLE.exists(), reason="no reference jpeg")
+    def test_reference_sample_decodes(self):
+        # real 4:2:0 3-component baseline JPEG with the dims its SOF0
+        # declares; luma pinned (regression guard for the decoder)
+        w, h, luma = decode_jpeg(_JPEG_SAMPLE.read_bytes())
+        assert (w, h) == (204, 192)
+        assert abs(luma - 0.519336) < 1e-4
+
+    @h_settings(max_examples=60, deadline=None)
+    @h_given(
+        h_st.lists(
+            h_st.lists(h_st.integers(0, 127).map(lambda v: 2 * v),
+                       min_size=1, max_size=4),
+            min_size=1, max_size=4,
+        ).filter(lambda g: len({len(r) for r in g}) == 1)
+    )
+    def test_blockwise_constant_roundtrip_exact(self, grid):
+        # per-block-constant + even values => DC-only, exact quantization:
+        # the full Huffman + DCT pipeline must reproduce the exact mean
+        w, h, luma = decode_jpeg(encode_jpeg_gray_blocks(grid))
+        flat = [v for row in grid for v in row]
+        assert (w, h) == (len(grid[0]) * 8, len(grid) * 8)
+        assert abs(luma - sum(flat) / len(flat) / 255.0) < 1e-12
+
+    def test_build_jpeg_closed_form(self):
+        for d in (0, 3, 99, 5000):
+            w, h, luma = decode_jpeg(build_jpeg(d))
+            exp = sum(2 * ((d * 7 + k * 11) % 128) for k in range(6)) / 6 / 255
+            assert (w, h) == (24, 16) and abs(luma - exp) < 1e-12
+
+    def test_progressive_and_garbage_raise(self):
+        data = bytearray(_JPEG_SAMPLE.read_bytes()) if _JPEG_SAMPLE.exists() else None
+        if data is not None:
+            i = data.find(b"\xff\xc0")
+            data[i + 1] = 0xC2  # pretend progressive
+            with pytest.raises(MediaDecodeError):
+                decode_jpeg(bytes(data))
+        with pytest.raises(MediaDecodeError):
+            decode_jpeg(b"\x00\x11garbage")
