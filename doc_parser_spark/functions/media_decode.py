@@ -514,3 +514,126 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
             mcu_count += 1
     vis = np.clip(yplane[:h, :w], 0.0, 255.0)
     return w, h, float(vis.mean() / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# ---------------------------------------------------------------------------
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes, npixels: int) -> bytearray:
+    """GIF-flavoured LZW: variable code width from min+1, CLEAR resets the
+    dictionary, EOI ends, dictionary grows to 0xFFF (12-bit max)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: LSB-first within bytes (GIF packs codes little-endian)
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: Optional[bytes] = None
+    n = len(data)
+    while len(out) < npixels:
+        while nbits < width:
+            if pos >= n:
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = dictionary[: clear + 2]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise MediaDecodeError("bad LZW code")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 0x1000:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, float]:
+    """GIF bytes → (width, height, mean_luma) of the FIRST image frame
+    (BT.601 luma over the palette-mapped pixels; interlaced rows are
+    de-interlaced with the standard 4-pass order)."""
+    if payload[:6] not in GIF_MAGICS:
+        raise MediaDecodeError("not a GIF")
+    if len(payload) < 13:
+        raise MediaDecodeError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncols = 2 << (flags & 7)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * ncols, offset=pos
+        ).reshape(-1, 3)
+        pos += 3 * ncols
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise MediaDecodeError(f"unexpected GIF block 0x{b:02X}")
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            ncols = 2 << (iflags & 7)
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * ncols, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * ncols
+        if table is None:
+            raise MediaDecodeError("GIF image without color table")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < n and payload[pos]:
+            cnt = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + cnt]
+            pos += 1 + cnt
+        pos += 1
+        idx = _lzw_decode(min_code, bytes(lzw), iw * ih)
+        if len(idx) < iw * ih:
+            raise MediaDecodeError("truncated GIF image data")
+        px = np.frombuffer(bytes(idx[: iw * ih]), dtype=np.uint8).reshape(
+            ih, iw
+        )
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            de = np.empty_like(px)
+            de[order] = px
+            px = de
+        rgb = table[np.clip(px, 0, len(table) - 1)].astype(np.float64)
+        luma = rgb @ np.array([0.299, 0.587, 0.114])
+        return iw, ih, float(luma.mean() / 255.0)
+    raise MediaDecodeError("no image block in GIF")

@@ -90,9 +90,11 @@ def _stdlib_decode_image(payload: bytes):
     back to the deterministic stub (flagged per row as 'stub_decoded').
     Returns (width, height, mean_luma, status)."""
     from doc_parser_spark.functions.media_decode import (
+        GIF_MAGICS,
         JPEG_MAGIC,
         PNG_MAGIC,
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_png,
     )
@@ -105,6 +107,9 @@ def _stdlib_decode_image(payload: bytes):
         return w, h, luma, "decoded"
     if payload[:2] == JPEG_MAGIC:
         w, h, luma = decode_jpeg(payload)
+        return w, h, luma, "decoded"
+    if payload[:6] in GIF_MAGICS:
+        w, h, luma = decode_gif(payload)
         return w, h, luma, "decoded"
     w, h, luma = _fake_decode_image(payload)
     return w, h, luma, "stub_decoded"

@@ -3754,3 +3754,26 @@ FROM documents
 
 QUERIES["m4_jpeg_decode"] = q_m4_jpeg_decode
 ORACLES["m4_jpeg_decode"] = ORACLE_M4_JPEG
+
+
+# ===========================================================================
+# batch 26 — REAL GIF decode (LZW with dictionary growth; lossless, so an
+# arbitrary deterministic gradient has an exact closed-form mean)
+# ===========================================================================
+q_m5_gif_decode = _media_query("image", "build_gif", _q_m1)
+
+ORACLE_M5_GIF = """
+SELECT d.doc_id::BIGINT AS doc_id,
+       (8 + d.doc_id % 8)::INT AS width,
+       (6 + d.doc_id % 5)::INT AS height,
+       round(avg(((d.doc_id + 3 * y.y + 7 * x.x) % 256) * 1.0) / 255.0, 4)
+         AS mean_luma,
+       'decoded' AS decode_status
+FROM documents d
+JOIN range(0, 11) y(y) ON y.y < 6 + d.doc_id % 5
+JOIN range(0, 16) x(x) ON x.x < 8 + d.doc_id % 8
+GROUP BY d.doc_id
+"""
+
+QUERIES["m5_gif_decode"] = q_m5_gif_decode
+ORACLES["m5_gif_decode"] = ORACLE_M5_GIF

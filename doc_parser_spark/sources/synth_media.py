@@ -268,3 +268,87 @@ def build_jpeg(doc_id: int) -> bytes:
     vals = [[2 * ((doc_id * 7 + (r * 3 + c) * 11) % 128) for c in range(3)]
             for r in range(2)]
     return encode_jpeg_gray_blocks(vals)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a encoder with a REAL growing-dictionary LZW compressor, so the
+# decoder's variable code widths and dictionary growth are exercised; LZW
+# is lossless, so arbitrary index images round-trip exactly)
+# ---------------------------------------------------------------------------
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if nxt < 0x1000:
+            table[wc] = nxt
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            nxt += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_gray(pixels) -> bytes:
+    """GIF87a from a 2-D uint8 array, 256-entry grayscale palette (palette
+    value v maps to RGB (v,v,v), so decoded BT.601 luma == v exactly)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    head = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode(8, px.tobytes())
+    blocks = bytearray([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + palette + img + bytes(blocks) + b"\x3b"
+
+
+def build_gif(doc_id: int) -> bytes:
+    """Deterministic per-doc GIF: (8 + doc_id % 8) × (6 + doc_id % 5)
+    gradient; closed-form mean for the m5 oracle (LZW is lossless)."""
+    import numpy as np
+
+    w, h = 8 + doc_id % 8, 6 + doc_id % 5
+    px = np.fromfunction(
+        lambda y, x: (doc_id + 3 * y + 7 * x) % 256, (h, w), dtype=np.int64
+    ).astype(np.uint8)
+    return encode_gif_gray(px)

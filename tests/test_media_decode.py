@@ -106,7 +106,7 @@ class TestOperators:
         rows = []
         for i in range(12):
             rows.append((i, f"c{i}", 0, "image", build_png(i), None))
-        rows.append((100, "c", 0, "image", b"GIF87a tiny-gif-ish", None))
+        rows.append((100, "c", 0, "image", b"II*\x00 tiff-ish", None))
         rows.append((101, "c", 0, "image", None, None))
         rows.append((104, "c", 0, "image", b"\xff\xd8\xff\xe0 truncated jpeg", None))
         rows.append((105, "c", 0, "image", build_jpeg(77), None))
@@ -129,7 +129,7 @@ class TestOperators:
             assert r["decode_status"] == "decoded"
             assert (r["width"], r["height"]) == (16 + i % 32, 8 + i % 16)
             assert r["mean_luma"] == pytest.approx((i % 256) / 255.0, abs=1e-6)
-        assert out[100]["decode_status"] == "stub_decoded"  # GIF → stub seam
+        assert out[100]["decode_status"] == "stub_decoded"  # TIFF → stub seam
         assert out[101]["decode_status"] == "skipped"
         assert out[104]["decode_status"] == "failure"  # broken JPEG is a
         # failure now that the real decoder owns the magic, never a stub
@@ -224,3 +224,48 @@ class TestJpeg:
                 decode_jpeg(bytes(data))
         with pytest.raises(MediaDecodeError):
             decode_jpeg(b"\x00\x11garbage")
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW): exact roundtrip fuzz incl. dictionary growth
+# ---------------------------------------------------------------------------
+import numpy as np
+
+from doc_parser_spark.functions.media_decode import decode_gif
+from doc_parser_spark.sources.synth_media import build_gif, encode_gif_gray
+
+
+class TestGif:
+    @h_settings(max_examples=40, deadline=None)
+    @h_given(h_st.integers(0, 2**32 - 1))
+    def test_roundtrip_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        W, H, luma = decode_gif(encode_gif_gray(px))
+        assert (W, H) == (w, h)
+        assert abs(luma - px.astype(np.float64).mean() / 255.0) < 1e-12
+
+    def test_dictionary_growth_and_clear(self):
+        # 60k pixels forces codes past 12-bit max → encoder emits CLEAR,
+        # decoder must reset mid-stream and still reproduce exactly
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (200, 300)).astype(np.uint8)
+        W, H, luma = decode_gif(encode_gif_gray(px))
+        assert (W, H) == (300, 200)
+        assert abs(luma - px.astype(np.float64).mean() / 255.0) < 1e-12
+
+    def test_build_gif_closed_form(self):
+        for d in (0, 5, 42, 999):
+            W, H, luma = decode_gif(build_gif(d))
+            w, h = 8 + d % 8, 6 + d % 5
+            exp = np.fromfunction(
+                lambda y, x: (d + 3 * y + 7 * x) % 256, (h, w)
+            ).mean() / 255.0
+            assert (W, H) == (w, h) and abs(luma - exp) < 1e-12
+
+    def test_garbage_raises(self):
+        with pytest.raises(MediaDecodeError):
+            decode_gif(b"GIF87a\x00")
+        with pytest.raises(MediaDecodeError):
+            decode_gif(b"not a gif")
