@@ -13,6 +13,9 @@ decoder (functions/pdf_decode.py):
   RMS and peak amplitude over the PCM samples.
 - MP4: ISO-BMFF box walk → ftyp brand, mvhd timescale/duration, trak
   count (metadata only — no codec work, which genuinely needs ffmpeg).
+- TIFF: 6.0 baseline — first IFD, strip layout, II/MM byte orders,
+  uncompressed or PackBits, 8-bit gray (BlackIsZero/WhiteIsZero) or RGB
+  → (width, height, mean_luma).
 
 Luma follows the ITU-R BT.601 weights PIL's ``convert("L")`` uses
 (0.299 R + 0.587 G + 0.114 B), so a future PIL swap-in is value-compatible
@@ -637,3 +640,100 @@ def decode_gif(payload: bytes) -> tuple[int, int, float]:
         luma = rgb @ np.array([0.299, 0.587, 0.114])
         return iw, ih, float(luma.mean() / 255.0)
     raise MediaDecodeError("no image block in GIF")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed or PackBits, gray/RGB, strip layout)
+# ---------------------------------------------------------------------------
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _packbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, float]:
+    """Baseline TIFF bytes → (width, height, mean_luma): first IFD, strip
+    layout, compression 1 (none) or 32773 (PackBits), 8-bit grayscale
+    (photometric 0/1) or RGB; anything else raises."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise MediaDecodeError("not a TIFF")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    try:
+        (ntags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    except struct.error as e:
+        raise MediaDecodeError("truncated TIFF") from e
+    tags: dict[int, list[int]] = {}
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for t in range(ntags):
+        off = ifd_off + 2 + 12 * t
+        try:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        except struct.error as e:
+            raise MediaDecodeError("truncated IFD") from e
+        if typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        try:
+            tags[tag] = list(
+                struct.unpack_from(bo + fmt * cnt, payload, voff)
+            )
+        except struct.error as e:
+            raise MediaDecodeError("truncated tag data") from e
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise MediaDecodeError(f"missing TIFF tag {e}") from e
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    if any(b != 8 for b in bits) or photo not in (0, 1, 2):
+        raise MediaDecodeError(
+            f"unsupported TIFF (bits={bits} photometric={photo})"
+        )
+    if comp not in (1, 32773):
+        raise MediaDecodeError(f"unsupported TIFF compression {comp}")
+    raw = bytearray()
+    expected = w * h * spp
+    for o, c in zip(offsets, counts):
+        strip = payload[o : o + c]
+        raw += _packbits(strip, expected - len(raw)) if comp == 32773 else strip
+    if len(raw) < expected:
+        raise MediaDecodeError("truncated TIFF strips")
+    px = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(
+        h, w, spp
+    )
+    if photo == 2:
+        if spp < 3:
+            raise MediaDecodeError("RGB TIFF with <3 samples")
+        luma = px[:, :, :3].astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114]
+        )
+    else:
+        luma = px[:, :, 0].astype(np.float64)
+        if photo == 0:  # WhiteIsZero
+            luma = 255.0 - luma
+    return w, h, float(luma.mean() / 255.0)

@@ -86,17 +86,19 @@ def _pil_decode_image(payload: bytes) -> tuple[int, int, float]:  # pragma: no c
 
 
 def _stdlib_decode_image(payload: bytes):
-    """Real stdlib decode for PNG/BMP/baseline-JPEG; other formats fall
-    back to the deterministic stub (flagged per row as 'stub_decoded').
+    """Real stdlib decode for PNG/BMP/baseline-JPEG/GIF/TIFF; other formats
+    fall back to the deterministic stub (flagged per row as 'stub_decoded').
     Returns (width, height, mean_luma, status)."""
     from doc_parser_spark.functions.media_decode import (
         GIF_MAGICS,
         JPEG_MAGIC,
         PNG_MAGIC,
+        TIFF_MAGICS,
         decode_bmp,
         decode_gif,
         decode_jpeg,
         decode_png,
+        decode_tiff,
     )
 
     if payload[:8] == PNG_MAGIC:
@@ -110,6 +112,9 @@ def _stdlib_decode_image(payload: bytes):
         return w, h, luma, "decoded"
     if payload[:6] in GIF_MAGICS:
         w, h, luma = decode_gif(payload)
+        return w, h, luma, "decoded"
+    if payload[:4] in TIFF_MAGICS:
+        w, h, luma = decode_tiff(payload)
         return w, h, luma, "decoded"
     w, h, luma = _fake_decode_image(payload)
     return w, h, luma, "stub_decoded"

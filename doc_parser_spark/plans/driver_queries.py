@@ -3777,3 +3777,29 @@ GROUP BY d.doc_id
 
 QUERIES["m5_gif_decode"] = q_m5_gif_decode
 ORACLES["m5_gif_decode"] = ORACLE_M5_GIF
+
+
+# ===========================================================================
+# batch 27 — REAL TIFF decode (6.0 baseline: strip layout, II/MM byte
+# orders, uncompressed + PackBits — both lossless, so the deterministic
+# gradient has an exact closed-form mean; the builder alternates byte
+# order and compression by doc_id so the contract query covers all four
+# combinations)
+# ===========================================================================
+q_m6_tiff_decode = _media_query("image", "build_tiff", _q_m1)
+
+ORACLE_M6_TIFF = """
+SELECT d.doc_id::BIGINT AS doc_id,
+       (9 + d.doc_id % 7)::INT AS width,
+       (5 + d.doc_id % 6)::INT AS height,
+       round(avg(((d.doc_id + 5 * y.y + 11 * x.x) % 256) * 1.0) / 255.0, 4)
+         AS mean_luma,
+       'decoded' AS decode_status
+FROM documents d
+JOIN range(0, 10) y(y) ON y.y < 5 + d.doc_id % 6
+JOIN range(0, 15) x(x) ON x.x < 9 + d.doc_id % 7
+GROUP BY d.doc_id
+"""
+
+QUERIES["m6_tiff_decode"] = q_m6_tiff_decode
+ORACLES["m6_tiff_decode"] = ORACLE_M6_TIFF

@@ -352,3 +352,124 @@ def build_gif(doc_id: int) -> bytes:
         lambda y, x: (doc_id + 3 * y + 7 * x) % 256, (h, w), dtype=np.int64
     ).astype(np.uint8)
     return encode_gif_gray(px)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (6.0 baseline writer: strip layout, uncompressed or PackBits, 8-bit
+# grayscale or RGB, both byte orders — exercises every branch the decoder
+# supports; both compressions are lossless, so arbitrary images round-trip
+# exactly and the m6 oracle is closed-form)
+# ---------------------------------------------------------------------------
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: runs of 2-128 → (257-L, byte); literals of 1-128 →
+    (L-1, bytes). Inverse of media_decode._packbits."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and j - i < 127 and data[j] == data[j + 1]:
+            j += 1
+        if j > i:
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+            continue
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels,
+    byteorder: str = "<",
+    packbits: bool = False,
+    photometric: int | None = None,
+    strips: int = 2,
+) -> bytes:
+    """TIFF 6.0 bytes from a 2-D (gray) or 3-D (RGB) uint8 array. Gray
+    defaults to photometric 1 (BlackIsZero); pass 0 for WhiteIsZero (pixel
+    values are the LUMA either way — the writer inverts stored bytes for 0,
+    the reader inverts back). Multi-strip by default so strip reassembly is
+    always exercised."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        if photometric is None:
+            photometric = 1
+        stored = (255 - px) if photometric == 0 else px
+    else:
+        h, w, spp = px.shape
+        assert spp == 3, "RGB only"
+        photometric = 2
+        stored = px
+    bo = byteorder
+    rows_per = max(1, -(-h // strips))
+    strip_raw = [
+        stored[r0 : r0 + rows_per].tobytes() for r0 in range(0, h, rows_per)
+    ]
+    strip_data = [
+        _packbits_encode(s) if packbits else s for s in strip_raw
+    ]
+    nstrips = len(strip_data)
+    tags = [  # (tag, type, values) — ascending tag order per spec
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [32773 if packbits else 1]),
+        (262, 3, [photometric]),
+        (273, 4, None),  # strip offsets, patched below
+        (277, 3, [spp]),
+        (278, 4, [rows_per]),
+        (279, 4, [len(s) for s in strip_data]),
+    ]
+    ifd_off = 8
+    ext_base = ifd_off + 2 + 12 * len(tags) + 4
+    # pass 1: measure the ext (out-of-line values) area
+    sizes = {3: 2, 4: 4}
+    ext_size = sum(
+        sizes[t] * (nstrips if v is None else len(v))
+        for _, t, v in tags
+        if sizes[t] * (nstrips if v is None else len(v)) > 4
+    )
+    strip_base = ext_base + ext_size
+    offs, acc = [], strip_base
+    for s in strip_data:
+        offs.append(acc)
+        acc += len(s)
+    tags[5] = (273, 4, offs)
+    ifd = bytearray(struct.pack(bo + "H", len(tags)))
+    ext = bytearray()
+    for tag, typ, vals in tags:
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + fmt * len(vals), *vals)
+        ifd += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if len(raw) <= 4:
+            ifd += raw.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack(bo + "I", ext_base + len(ext))
+            ext += raw
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    head = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
+    return head + bytes(ifd) + bytes(ext) + b"".join(strip_data)
+
+
+def build_tiff(doc_id: int) -> bytes:
+    """Deterministic per-doc TIFF: (9 + doc_id % 7) × (5 + doc_id % 6)
+    gradient; byte order and PackBits alternate by doc_id so the contract
+    query exercises II/MM and both compressions; closed-form mean for the
+    m6 oracle (both paths lossless)."""
+    w, h = 9 + doc_id % 7, 5 + doc_id % 6
+    px = np.fromfunction(
+        lambda y, x: (doc_id + 5 * y + 11 * x) % 256, (h, w), dtype=np.int64
+    ).astype(np.uint8)
+    return encode_tiff(
+        px,
+        byteorder="<" if doc_id % 2 == 0 else ">",
+        packbits=(doc_id % 3 == 0),
+    )

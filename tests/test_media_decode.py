@@ -106,7 +106,9 @@ class TestOperators:
         rows = []
         for i in range(12):
             rows.append((i, f"c{i}", 0, "image", build_png(i), None))
-        rows.append((100, "c", 0, "image", b"II*\x00 tiff-ish", None))
+        rows.append((100, "c", 0, "image", b"RIFF....WEBPvp8-ish", None))
+        rows.append((106, "c", 0, "image", b"II*\x00 tiff-ish", None))
+        rows.append((107, "c", 0, "image", build_tiff(9), None))
         rows.append((101, "c", 0, "image", None, None))
         rows.append((104, "c", 0, "image", b"\xff\xd8\xff\xe0 truncated jpeg", None))
         rows.append((105, "c", 0, "image", build_jpeg(77), None))
@@ -129,7 +131,17 @@ class TestOperators:
             assert r["decode_status"] == "decoded"
             assert (r["width"], r["height"]) == (16 + i % 32, 8 + i % 16)
             assert r["mean_luma"] == pytest.approx((i % 256) / 255.0, abs=1e-6)
-        assert out[100]["decode_status"] == "stub_decoded"  # TIFF → stub seam
+        assert out[100]["decode_status"] == "stub_decoded"  # WebP → stub seam
+        assert out[106]["decode_status"] == "failure"  # broken TIFF is a
+        # failure now that the real decoder owns the magic, never a stub
+        r = out[107]  # real TIFF decodes for real
+        import numpy as _np
+        exp_t = _np.fromfunction(
+            lambda y, x: (9 + 5 * y + 11 * x) % 256, (5 + 9 % 6, 9 + 9 % 7)
+        ).mean() / 255.0
+        assert r["decode_status"] == "decoded"
+        assert (r["width"], r["height"]) == (9 + 9 % 7, 5 + 9 % 6)
+        assert r["mean_luma"] == pytest.approx(exp_t, abs=1e-6)
         assert out[101]["decode_status"] == "skipped"
         assert out[104]["decode_status"] == "failure"  # broken JPEG is a
         # failure now that the real decoder owns the magic, never a stub
@@ -269,3 +281,74 @@ class TestGif:
             decode_gif(b"GIF87a\x00")
         with pytest.raises(MediaDecodeError):
             decode_gif(b"not a gif")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (6.0 baseline): exact roundtrip fuzz over byte order × compression ×
+# photometric × samples-per-pixel; both supported compressions are lossless
+# ---------------------------------------------------------------------------
+from doc_parser_spark.functions.media_decode import decode_tiff
+from doc_parser_spark.sources.synth_media import (
+    _packbits_encode,
+    build_tiff,
+    encode_tiff,
+)
+
+
+class TestTiff:
+    @h_settings(max_examples=40, deadline=None)
+    @h_given(h_st.integers(0, 2**32 - 1))
+    def test_roundtrip_exact_all_variants(self, seed):
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        bo = "<" if rng.integers(0, 2) == 0 else ">"
+        packbits = bool(rng.integers(0, 2))
+        strips = int(rng.integers(1, 4))
+        if rng.integers(0, 2):  # RGB
+            px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            exp = (
+                px.astype(np.float64) @ [0.299, 0.587, 0.114]
+            ).mean() / 255.0
+        else:  # gray, either photometric interpretation
+            px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            exp = px.astype(np.float64).mean() / 255.0
+        photometric = None
+        if px.ndim == 2 and rng.integers(0, 2):
+            photometric = 0  # WhiteIsZero: stored inverted, decoded back
+        data = encode_tiff(px, byteorder=bo, packbits=packbits,
+                           photometric=photometric, strips=strips)
+        W, H, luma = decode_tiff(data)
+        assert (W, H) == (w, h)
+        assert abs(luma - exp) < 1e-9
+
+    def test_packbits_inverse_property(self):
+        from doc_parser_spark.functions.media_decode import _packbits
+
+        rng = np.random.default_rng(11)
+        for _ in range(50):
+            n = int(rng.integers(0, 400))
+            # runs-heavy data to exercise both run and literal branches
+            raw = bytes(rng.integers(0, 4, n).astype(np.uint8))
+            assert _packbits(_packbits_encode(raw), n) == raw
+
+    def test_build_tiff_closed_form(self):
+        for d in (0, 1, 2, 3, 42, 999):  # covers II/MM × packbits/none
+            W, H, luma = decode_tiff(build_tiff(d))
+            w, h = 9 + d % 7, 5 + d % 6
+            exp = np.fromfunction(
+                lambda y, x: (d + 5 * y + 11 * x) % 256, (h, w)
+            ).mean() / 255.0
+            assert (W, H) == (w, h) and abs(luma - exp) < 1e-12
+
+    def test_unsupported_and_garbage_raise(self):
+        with pytest.raises(MediaDecodeError):
+            decode_tiff(b"II*\x00 truncated")
+        with pytest.raises(MediaDecodeError):
+            decode_tiff(b"not a tiff")
+        # unsupported compression (LZW=5) must raise, not stub
+        px = np.zeros((4, 4), dtype=np.uint8)
+        data = bytearray(encode_tiff(px))
+        i = data.find((259).to_bytes(2, "little"))
+        data[i + 8] = 5
+        with pytest.raises(MediaDecodeError):
+            decode_tiff(bytes(data))
