@@ -16,6 +16,9 @@ decoder (functions/pdf_decode.py):
 - TIFF: 6.0 baseline — first IFD, strip layout, II/MM byte orders,
   uncompressed or PackBits, 8-bit gray (BlackIsZero/WhiteIsZero) or RGB
   → (width, height, mean_luma).
+- AVI/MJPEG: RIFF chunk walk → per-frame baseline-JPEG decode through the
+  T.81 decoder above — real video frame sampling for the one mainstream
+  video codec that needs no codec library.
 
 Luma follows the ITU-R BT.601 weights PIL's ``convert("L")`` uses
 (0.299 R + 0.587 G + 0.114 B), so a future PIL swap-in is value-compatible
@@ -737,3 +740,55 @@ def decode_tiff(payload: bytes) -> tuple[int, int, float]:
         if photo == 0:  # WhiteIsZero
             luma = 255.0 - luma
     return w, h, float(luma.mean() / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF chunk walk; each '00dc'/'00db' frame is a baseline JPEG
+# that decode_jpeg handles — real frame extraction with zero codec libs)
+# ---------------------------------------------------------------------------
+AVI_MAGIC_HEAD = b"RIFF"
+AVI_MAGIC_TYPE = b"AVI "
+
+
+def iter_avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """RIFF/AVI bytes → the raw per-frame payloads from '00dc'/'00db'
+    chunks (any stream-0 video chunk), in file order. Raises on a non-AVI
+    RIFF or a truncated chunk. Codec-agnostic at this layer: the caller
+    decodes frames (MJPEG frames are plain baseline JPEGs)."""
+    if payload[:4] != AVI_MAGIC_HEAD or payload[8:12] != AVI_MAGIC_TYPE:
+        raise MediaDecodeError("not an AVI")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        off = lo
+        while off + 8 <= hi:
+            fourcc = payload[off : off + 4]
+            (size,) = struct.unpack_from("<I", payload, off + 4)
+            body_lo = off + 8
+            if body_lo + size > hi:
+                raise MediaDecodeError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_lo + size)
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(payload[body_lo : body_lo + size])
+            off = body_lo + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    return frames
+
+
+def decode_avi_mjpeg(
+    payload: bytes, every_n: int = 1
+) -> list[tuple[int, int, int, float]]:
+    """AVI/MJPEG bytes → [(frame_idx, width, height, mean_luma)] for every
+    ``every_n``-th frame. Non-JPEG frame payloads raise (this decoder only
+    claims MJPEG)."""
+    out = []
+    for idx, frame in enumerate(iter_avi_mjpeg_frames(payload)):
+        if idx % every_n:
+            continue
+        w, h, luma = decode_jpeg(frame)
+        out.append((idx, w, h, luma))
+    if not out:
+        raise MediaDecodeError("no video frames in AVI")
+    return out

@@ -297,7 +297,8 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling stub: emits one row per sampled frame. The frame
     count/hash derive deterministically from the payload; a real
-    implementation replaces the inner loop with an ffmpeg/pyav reader."""
+    implementation replaces the inner loop with an ffmpeg/pyav reader.
+    For MJPEG AVI, ``video_frames`` below does the real decode already."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -322,6 +323,80 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
     return media.where(F.col("kind") == "video").mapInPandas(
         gen, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decode_status", T.StringType(), False),
+    ]
+)
+
+
+def video_frames(
+    media: DataFrame, every_n: int = 1, batch_rows: int = 16
+) -> DataFrame:
+    """REAL video frame sampling: MJPEG-in-AVI payloads are fully decoded
+    on the stdlib (RIFF chunk walk → per-frame baseline-JPEG decode via the
+    from-scratch T.81 decoder), one row per sampled frame with true dims and
+    BT.601 mean luma. Non-AVI containers (MP4/H.264 etc. — genuinely
+    codec-library-bound) fall back to the deterministic frame stub, flagged
+    per row as 'stub_decoded' (same honest seam as the image path); a
+    malformed AVI or a non-JPEG frame inside one is a 'failure' row, never
+    a stub. Sub-batched like decode_images so one long video can't blow an
+    Arrow batch."""
+    from doc_parser_spark.functions.media_decode import (
+        AVI_MAGIC_HEAD,
+        AVI_MAGIC_TYPE,
+        MediaDecodeError,
+        decode_avi_mjpeg,
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "width", "height", "mean_luma",
+                "decode_status"]
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                sub = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for media_id, payload in zip(sub["media_id"], sub["payload"]):
+                    mid = int(media_id)
+                    if payload is None:
+                        rows.append((mid, None, None, None, None, "skipped"))
+                        continue
+                    payload = bytes(payload)
+                    if (payload[:4] == AVI_MAGIC_HEAD
+                            and payload[8:12] == AVI_MAGIC_TYPE):
+                        try:
+                            for idx, w, h, luma in decode_avi_mjpeg(
+                                payload, every_n=every_n
+                            ):
+                                rows.append((mid, idx, w, h, luma, "decoded"))
+                        except MediaDecodeError:
+                            rows.append(
+                                (mid, None, None, None, None, "failure")
+                            )
+                        continue
+                    n_frames = 1 + payload[0] % 30 if payload else 0
+                    for fi in range(0, n_frames, every_n):
+                        h = hashlib.sha256(
+                            payload + fi.to_bytes(4, "big")
+                        ).digest()
+                        rows.append(
+                            (mid, fi, 64 + h[0] * 4, 64 + h[1] * 4,
+                             h[2] / 255.0, "stub_decoded")
+                        )
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {"media_id": "int64"}
+                )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        gen, schema=VIDEO_FRAME_SCHEMA
     )
 
 

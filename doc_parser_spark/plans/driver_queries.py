@@ -3803,3 +3803,46 @@ GROUP BY d.doc_id
 
 QUERIES["m6_tiff_decode"] = q_m6_tiff_decode
 ORACLES["m6_tiff_decode"] = ORACLE_M6_TIFF
+
+
+# ===========================================================================
+# batch 28 — REAL video frame sampling (MJPEG-in-AVI: RIFF chunk walk +
+# per-frame baseline-JPEG decode; frames are even block-constant JPEGs, so
+# every sampled frame's mean is closed-form — the "frame-sample" op from
+# the training-pipeline spec, no longer a stub for this container)
+# ===========================================================================
+def _q_m7(media):
+    from doc_parser_spark.operators.multimodal import video_frames
+
+    return video_frames(media, every_n=2).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        F.round(F.col("mean_luma").cast("double"), 4).alias("mean_luma"),
+        "decode_status",
+    )
+
+
+q_m7_video_frames = _media_query("video", "build_avi", _q_m7)
+
+ORACLE_M7_AVI = """
+SELECT d.doc_id::BIGINT AS doc_id,
+       f.f::INT AS frame_idx,
+       24::INT AS width,
+       16::INT AS height,
+       round((
+         (2 * ((d.doc_id * 7 + f.f * 13 +  0) % 128)) +
+         (2 * ((d.doc_id * 7 + f.f * 13 + 11) % 128)) +
+         (2 * ((d.doc_id * 7 + f.f * 13 + 22) % 128)) +
+         (2 * ((d.doc_id * 7 + f.f * 13 + 33) % 128)) +
+         (2 * ((d.doc_id * 7 + f.f * 13 + 44) % 128)) +
+         (2 * ((d.doc_id * 7 + f.f * 13 + 55) % 128))
+       ) / 6.0 / 255.0, 4) AS mean_luma,
+       'decoded' AS decode_status
+FROM documents d
+JOIN range(0, 6) f(f) ON f.f < 3 + d.doc_id % 4 AND f.f % 2 = 0
+"""
+
+QUERIES["m7_video_frames"] = q_m7_video_frames
+ORACLES["m7_video_frames"] = ORACLE_M7_AVI

@@ -473,3 +473,59 @@ def build_tiff(doc_id: int) -> bytes:
         byteorder="<" if doc_id % 2 == 0 else ">",
         packbits=(doc_id % 3 == 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF writer whose '00dc' frames are REAL baseline JPEGs from
+# encode_jpeg_gray_blocks — even block-constant values quantize exactly, so
+# every sampled frame's mean luma has a closed form in (doc_id, frame_idx))
+# ---------------------------------------------------------------------------
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(frames: list, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal spec-shaped AVI: LIST hdrl (avih + one strl/strh/strf) +
+    LIST movi with one '00dc' chunk per JPEG frame."""
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0, 0x10,        # maxbytes, padding, flags (HASINDEX off, INTERLEAVED-ish)
+        len(frames), 0, 1, 0,  # totalframes, initial, streams, sugbufsize
+        width, height,
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                            fps, 0, len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_avi(doc_id: int) -> bytes:
+    """Deterministic per-doc MJPEG AVI: (3 + doc_id % 4) frames of 24×16
+    block-constant JPEGs; frame f block k value 2*((doc_id*7 + f*13 + k*11)
+    % 128) — closed-form per-frame mean for the m7 oracle."""
+    nf = 3 + doc_id % 4
+    frames = []
+    for f in range(nf):
+        vals = [[2 * ((doc_id * 7 + f * 13 + (r * 3 + c) * 11) % 128)
+                 for c in range(3)] for r in range(2)]
+        frames.append(encode_jpeg_gray_blocks(vals))
+    return encode_avi_mjpeg(frames, 24, 16)

@@ -352,3 +352,79 @@ class TestTiff:
         data[i + 8] = 5
         with pytest.raises(MediaDecodeError):
             decode_tiff(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG: real frame extraction (RIFF walk + T.81 per-frame decode)
+# ---------------------------------------------------------------------------
+from doc_parser_spark.functions.media_decode import decode_avi_mjpeg
+from doc_parser_spark.sources.synth_media import build_avi, encode_avi_mjpeg
+
+
+class TestAviMjpeg:
+    @h_settings(max_examples=30, deadline=None)
+    @h_given(h_st.integers(0, 2**32 - 1))
+    def test_frame_roundtrip_exact(self, seed):
+        # arbitrary even block-constant frames → DC-only JPEGs quantize
+        # exactly → every sampled frame's luma must be bit-exact
+        rng = np.random.default_rng(seed)
+        nf = int(rng.integers(1, 8))
+        bw, bh = int(rng.integers(1, 4)), int(rng.integers(1, 3))
+        every = int(rng.integers(1, 4))
+        grids = [
+            (2 * rng.integers(0, 128, (bh, bw))).tolist() for _ in range(nf)
+        ]
+        avi = encode_avi_mjpeg(
+            [encode_jpeg_gray_blocks(g) for g in grids], bw * 8, bh * 8
+        )
+        res = decode_avi_mjpeg(avi, every_n=every)
+        assert [r[0] for r in res] == list(range(0, nf, every))
+        for idx, w, h, luma in res:
+            flat = [v for row in grids[idx] for v in row]
+            assert (w, h) == (bw * 8, bh * 8)
+            assert abs(luma - sum(flat) / len(flat) / 255.0) < 1e-12
+
+    def test_build_avi_closed_form(self):
+        for d in (0, 1, 2, 3, 42, 999):
+            res = decode_avi_mjpeg(build_avi(d), every_n=2)
+            assert [r[0] for r in res] == list(range(0, 3 + d % 4, 2))
+            for idx, w, h, luma in res:
+                exp = sum(
+                    2 * ((d * 7 + idx * 13 + k * 11) % 128) for k in range(6)
+                ) / 6 / 255.0
+                assert (w, h) == (24, 16) and abs(luma - exp) < 1e-12
+
+    def test_garbage_and_truncation_raise(self):
+        with pytest.raises(MediaDecodeError):
+            decode_avi_mjpeg(b"RIFF\x10\x00\x00\x00WAVEdata")  # not AVI
+        with pytest.raises(MediaDecodeError):
+            decode_avi_mjpeg(b"not even riff")
+        avi = bytearray(build_avi(5))
+        with pytest.raises(MediaDecodeError):
+            decode_avi_mjpeg(bytes(avi[: len(avi) - 40]))  # truncated chunk
+
+    def test_operator_statuses(self, spark):
+        from doc_parser_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            video_frames,
+        )
+
+        rows = [
+            (0, "c", 0, "video", build_avi(3), None),       # real AVI
+            (1, "c", 0, "video", build_mp4(1), None),       # MP4 → stub seam
+            (2, "c", 0, "video", b"RIFF\x08\x00\x00\x00AVI junk", None),
+            (3, "c", 0, "video", None, None),               # skipped
+        ]
+        media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        out = video_frames(media, every_n=2).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert [r["frame_idx"] for r in by_id[0]] == [0, 2, 4]
+        assert all(r["decode_status"] == "decoded" and
+                   (r["width"], r["height"]) == (24, 16) for r in by_id[0])
+        exp0 = sum(2 * ((3 * 7 + k * 11) % 128) for k in range(6)) / 6 / 255.0
+        assert by_id[0][0]["mean_luma"] == pytest.approx(exp0, abs=1e-12)
+        assert all(r["decode_status"] == "stub_decoded" for r in by_id[1])
+        assert [r["decode_status"] for r in by_id[2]] == ["failure"]
+        assert [r["decode_status"] for r in by_id[3]] == ["skipped"]
