@@ -381,3 +381,110 @@ def simhash_oracle_sql(payload_sql: str, bits: int = 16) -> str:
         for i in range(bits)
     )
     return bit_terms
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: token spans whose every k-gram repeats
+    elsewhere in the corpus (the fixed-k fingerprint approximation of
+    Lee et al. 2022's suffix-array substring dedup — reference analog:
+    corpus-level duplicated-text removal, which doc-level dedup misses).
+
+    Per doc: word k-grams (md5 over the joined words — built ROW-LOCAL via
+    transform/sequence, no window, no shuffle); a k-gram occurring
+    ``min_count``+ times corpus-wide marks its start position; overlapping
+    or adjacent marked intervals [pos, pos+k) merge per doc (gaps-and-
+    islands, the operators/spans.py pattern — equal-length intervals make
+    the running max end a simple lag).
+
+    Returns (id, span_start, span_end, span_tokens) with token-index spans,
+    end exclusive. A doc with no duplicated k-gram emits no rows.
+
+    Scale (100 TB): gram rows are (id, pos, 32-byte md5) — constant width,
+    never the document text. Two shuffles: the gram-count hash aggregate
+    (map-side partial) and the count-filtered self-join keyed by the hash
+    (AQE handles hot grams; min_count prunes the long tail before the
+    join's build side). The per-doc island merge adds one more exchange on
+    the id, but only for the MARKED positions (id, pos) — duplicated-text
+    rows only, payload-light, typically a small fraction of the corpus.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    F.size(w) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - k),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, k))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .count()
+        .where(F.col("count") >= min_count)
+        .select("g")
+    )
+    marked = grams.join(dup, "g").select(id_col, "pos")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(win).isNull()
+            | (F.col("pos") > F.lag("pos").over(win) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(win))
+    return (
+        islands.groupBy(id_col, "gid")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + k).cast("int").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def duplicated_token_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-token fraction: |merged duplicated spans| / tokens
+    — the single-number corpus-contamination signal derived from
+    duplicated_substring_spans (docs score 0.0 when nothing repeats)."""
+    spans = duplicated_substring_spans(df, id_col, text_col, k, min_count)
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("int").alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_fraction"),
+    )

@@ -3846,3 +3846,91 @@ JOIN range(0, 6) f(f) ON f.f < 3 + d.doc_id % 4 AND f.f % 2 = 0
 
 QUERIES["m7_video_frames"] = q_m7_video_frames
 ORACLES["m7_video_frames"] = ORACLE_M7_AVI
+
+
+# ===========================================================================
+# batch 29 — substring-level exact dedup (Lee et al. 2022 family: token
+# spans whose every k-gram repeats corpus-wide, merged per doc) + the
+# per-doc duplicated-token fraction signal
+# ===========================================================================
+_SUBSTR_K = 5
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import duplicated_substring_spans
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return duplicated_substring_spans(
+        docs, "doc_id", "text", k=_SUBSTR_K, min_count=2
+    )
+
+
+ORACLE_SUBSTR_SPANS = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(w) - {_SUBSTR_K} + 1, 0))) AS pos,
+         unnest(list_transform(range(0, greatest(len(w) - {_SUBSTR_K} + 1, 0)),
+                i -> md5(array_to_string(w[i + 1 : i + {_SUBSTR_K}], ' '))))
+           AS g
+  FROM t
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER win IS NULL
+                   OR pos > lag(pos) OVER win + {_SUBSTR_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM isl
+)
+SELECT doc_id,
+       min(pos)::INT AS span_start,
+       (max(pos) + {_SUBSTR_K})::INT AS span_end,
+       (max(pos) + {_SUBSTR_K} - min(pos))::INT AS span_tokens
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+def q_dedup_substring_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import duplicated_token_fraction
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return duplicated_token_fraction(
+        docs, "doc_id", "text", k=_SUBSTR_K, min_count=2
+    )
+
+
+ORACLE_SUBSTR_FRACTION = f"""
+WITH spans AS ({ORACLE_SUBSTR_SPANS}),
+tot AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split(text, ' '))::INT AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, sum(span_tokens)::INT AS dup_tokens FROM spans
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(a.dup_tokens, 0)::INT AS dup_tokens,
+       round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(t.n_tokens, 1), 4)
+         AS dup_fraction
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
+ORACLES["dedup_substring_spans"] = ORACLE_SUBSTR_SPANS
+QUERIES["dedup_substring_fraction"] = q_dedup_substring_fraction
+ORACLES["dedup_substring_fraction"] = ORACLE_SUBSTR_FRACTION
