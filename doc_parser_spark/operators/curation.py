@@ -504,3 +504,59 @@ def pack_segments(
         (seg_end - F.col("start")).cast("int").alias("tok_end"),
         (seg_start - F.col("s") * budget).cast("int").alias("offset_in_seq"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tau: float = 0.3,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    mixture rule: sample domain d with probability ∝ count_d^tau, XLM-R
+    style — tau=1 keeps the natural mixture, tau=0 equalizes domains).
+
+    The per-domain acceptance rate has a closed form with no target-size
+    knob: the largest corpus whose realized mixture matches the tempered
+    weights without oversampling any domain is reached at
+    ``rate_d = (min_count / count_d)^(1-tau)`` — the smallest domain keeps
+    everything, larger domains are downsampled toward the tempered share.
+
+    Deterministic like ``stratified_sample``: the uniform(0,1) draw is the
+    first 4 hex digits of md5(domain || '|' || id) as a 16-bit fraction
+    (numeric compare here, since rates are computed in-plan, not constants).
+    Adds ``rate``, ``sampled``, and the inverse-propensity ``weight``.
+
+    Scale (100 TB): the domain-count aggregate is map-side combined down to
+    |domains| rows, the 1-row min and the per-domain rates join back via
+    broadcast — the corpus itself NEVER shuffles; the keep decision is
+    row-local. Rates round to 6 dp so pow()'s last-ulp engine differences
+    cannot flip a decision.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        domain_col,
+        F.round(
+            F.pow(F.col("n_min") / F.col("n_d"), F.lit(1.0 - tau)), 6
+        ).alias("rate"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(domain_col), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(65536.0)
+    out = df.join(F.broadcast(rates), domain_col)
+    sampled = u < F.col("rate")
+    return out.withColumn("sampled", sampled).withColumn(
+        "weight",
+        F.when(sampled, F.round(1.0 / F.col("rate"), 4)).otherwise(F.lit(0.0)),
+    )

@@ -3934,3 +3934,45 @@ QUERIES["dedup_substring_spans"] = q_dedup_substring_spans
 ORACLES["dedup_substring_spans"] = ORACLE_SUBSTR_SPANS
 QUERIES["dedup_substring_fraction"] = q_dedup_substring_fraction
 ORACLES["dedup_substring_fraction"] = ORACLE_SUBSTR_FRACTION
+
+
+# ===========================================================================
+# batch 30 — temperature mixture sampling (domain rebalancing: rate_d =
+# (min_count/count_d)^(1-tau); rates computed in-plan from corpus counts,
+# broadcast back; the corpus never shuffles)
+# ===========================================================================
+_MIX_TAU = 0.3
+
+
+def q_curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import temperature_mixture_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return temperature_mixture_sample(docs, "doc_id", "lang", tau=_MIX_TAU).select(
+        "doc_id", "lang", "rate", "sampled", "weight"
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_d FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_d) AS n_min FROM c
+), r AS (
+  SELECT lang, round(pow(m.n_min * 1.0 / c.n_d, {1.0 - _MIX_TAU}), 6) AS rate
+  FROM c, m
+), t AS (
+  SELECT d.doc_id::BIGINT AS doc_id, d.lang, r.rate,
+         (('0x' || substring(md5(d.lang || '|' || d.doc_id), 1, 4))::BIGINT
+            / 65536.0) < r.rate AS sampled
+  FROM documents d JOIN r USING (lang)
+)
+SELECT doc_id, lang, rate, sampled,
+       CASE WHEN sampled THEN round(1.0 / rate, 4) ELSE 0.0 END AS weight
+FROM t
+"""
+
+QUERIES["curate_mixture_sample"] = q_curate_mixture_sample
+ORACLES["curate_mixture_sample"] = ORACLE_MIXTURE_SAMPLE

@@ -413,3 +413,97 @@ class TestPackSegments:
         for d, (sid, off, straddles) in seq.items():
             assert first[d] == (sid, off)
             assert (counts[d] > 1) == straddles
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        # 3 domains with counts 64 / 16 / 4
+        rows = [(i, "big") for i in range(64)]
+        rows += [(100 + i, "mid") for i in range(16)]
+        rows += [(200 + i, "small") for i in range(4)]
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_rates_closed_form(self, spark):
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        docs = self._docs(spark)
+        out = temperature_mixture_sample(docs, "doc_id", "lang", tau=0.5)
+        rates = {
+            r["lang"]: r["rate"]
+            for r in out.select("lang", "rate").distinct().collect()
+        }
+        # rate_d = (min/c_d)^(1-tau) with min=4, tau=0.5
+        assert rates["small"] == pytest.approx(1.0, abs=1e-6)
+        assert rates["mid"] == pytest.approx((4 / 16) ** 0.5, abs=1e-6)
+        assert rates["big"] == pytest.approx((4 / 64) ** 0.5, abs=1e-6)
+        # smallest domain keeps everything
+        kept = out.where("lang = 'small' AND sampled").count()
+        assert kept == 4
+
+    def test_tau_1_keeps_natural_mixture(self, spark):
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        out = temperature_mixture_sample(
+            self._docs(spark), "doc_id", "lang", tau=1.0
+        )
+        assert out.where("NOT sampled").count() == 0
+        assert out.where("weight != 1.0").count() == 0
+
+    def test_tau_0_equalizes_expected_counts(self, spark):
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        out = temperature_mixture_sample(
+            self._docs(spark), "doc_id", "lang", tau=0.0
+        )
+        rates = {
+            r["lang"]: r["rate"]
+            for r in out.select("lang", "rate").distinct().collect()
+        }
+        # expected kept per domain = c_d * (min/c_d) = min for every domain
+        for lang, c in (("big", 64), ("mid", 16), ("small", 4)):
+            assert rates[lang] * c == pytest.approx(4.0, abs=1e-3)
+
+    def test_deterministic_and_subset_invariance(self, spark):
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        docs = self._docs(spark)
+        a = {
+            r["doc_id"]: r["sampled"]
+            for r in temperature_mixture_sample(
+                docs, "doc_id", "lang", tau=0.5
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["sampled"]
+            for r in temperature_mixture_sample(
+                docs, "doc_id", "lang", tau=0.5
+            ).collect()
+        }
+        assert a == b  # pure function of the row + corpus counts
+
+    def test_plan_broadcasts_rates(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        out = temperature_mixture_sample(
+            self._docs(spark), "doc_id", "lang", tau=0.5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the corpus side must not sort-merge; rates ride a broadcast
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
