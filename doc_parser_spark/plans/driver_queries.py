@@ -3976,3 +3976,143 @@ FROM t
 
 QUERIES["curate_mixture_sample"] = q_curate_mixture_sample
 ORACLES["curate_mixture_sample"] = ORACLE_MIXTURE_SAMPLE
+
+
+# ===========================================================================
+# batch 31 — temporal joins (operators/temporal.py): as-of join (backward
+# with tolerance, forward) and bucketed point-in-interval range join —
+# the brief's named custom operators; DuckDB's native ASOF JOIN and an
+# inequality join are the oracles
+# ===========================================================================
+_ASOF_TOL = 604800  # 7 days
+
+
+def q_asof_attach_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("signup_ts"),
+        F.col("value").alias("signup_value"),
+    )
+    out = asof_join(
+        clicks, signups, ["user_id"], "ts", "signup_ts",
+        direction="backward", tolerance=_ASOF_TOL,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        F.col("signup_ts_matched").cast("timestamp").cast("long")
+        .alias("signup_ts_sec"),
+        F.round("signup_value_matched", 4).alias("signup_value"),
+    )
+
+
+ORACLE_ASOF_SIGNUP = f"""
+SELECT l.event_id::BIGINT AS event_id,
+       l.user_id::BIGINT AS user_id,
+       floor(epoch(l.ts))::BIGINT AS ts_sec,
+       CASE WHEN r.ts IS NOT NULL
+                 AND floor(epoch(l.ts)) - floor(epoch(r.ts)) <= {_ASOF_TOL}
+            THEN floor(epoch(r.ts))::BIGINT END AS signup_ts_sec,
+       CASE WHEN r.ts IS NOT NULL
+                 AND floor(epoch(l.ts)) - floor(epoch(r.ts)) <= {_ASOF_TOL}
+            THEN round(r.value, 4) END AS signup_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "purchase_ts",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        F.col("purchase_ts_matched").cast("timestamp").cast("long")
+        .alias("purchase_ts_sec"),
+        F.round("purchase_value_matched", 4).alias("purchase_value"),
+    )
+
+
+ORACLE_ASOF_PURCHASE = """
+SELECT l.event_id::BIGINT AS event_id,
+       l.user_id::BIGINT AS user_id,
+       floor(epoch(l.ts))::BIGINT AS ts_sec,
+       floor(epoch(r.ts))::BIGINT AS purchase_ts_sec,
+       round(r.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+_RANGE_WIN = 21600  # 6-hour error windows
+
+
+def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").cast("long").alias("view_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("view_sec"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").cast("long").alias("error_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("win_start"),
+        (F.col("ts").cast("timestamp").cast("long") + _RANGE_WIN)
+        .alias("win_end"),
+    )
+    return range_join(
+        views, errors, ["user_id"], "view_sec", "win_start", "win_end",
+        bucket_width=_RANGE_WIN,
+    ).select("view_id", "user_id", "view_sec", "error_id", "win_start")
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT v.event_id::BIGINT AS view_id,
+       v.user_id::BIGINT AS user_id,
+       floor(epoch(v.ts))::BIGINT AS view_sec,
+       e.event_id::BIGINT AS error_id,
+       floor(epoch(e.ts))::BIGINT AS win_start
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON v.user_id = e.user_id
+ AND floor(epoch(v.ts)) >= floor(epoch(e.ts))
+ AND floor(epoch(v.ts)) < floor(epoch(e.ts)) + {_RANGE_WIN}
+"""
+
+QUERIES["asof_attach_signup"] = q_asof_attach_signup
+ORACLES["asof_attach_signup"] = ORACLE_ASOF_SIGNUP
+QUERIES["asof_next_purchase"] = q_asof_next_purchase
+ORACLES["asof_next_purchase"] = ORACLE_ASOF_PURCHASE
+QUERIES["range_join_error_window"] = q_range_join_error_window
+ORACLES["range_join_error_window"] = ORACLE_RANGE_JOIN

@@ -1,0 +1,140 @@
+"""As-of join and bucketed range join (operators/temporal.py) — hand-built
+timelines with known answers, boundary semantics, and plan-shape guards
+(single-exchange as-of; no nested-loop range join)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from doc_parser_spark.operators.temporal import asof_join, range_join
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _ts(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+class TestAsofJoin:
+    def _sides(self, spark):
+        left = _ts(
+            spark,
+            [(1, "u1", 100), (2, "u1", 205), (3, "u1", 399), (4, "u2", 50),
+             (5, "u3", 10)],
+            ["id", "key", "t"],
+        ).selectExpr("id", "key", "cast(t as timestamp) AS t")
+        right = _ts(
+            spark,
+            [("u1", 100, 1.0), ("u1", 200, 2.0), ("u1", 300, 3.0),
+             ("u2", 60, 4.0)],
+            ["key", "rt", "v"],
+        ).selectExpr("key", "cast(rt as timestamp) AS rt", "v")
+        return left, right
+
+    def test_backward(self, spark):
+        left, right = self._sides(spark)
+        out = {
+            r["id"]: (r["rt_matched"], r["v_matched"])
+            for r in asof_join(
+                left, right, ["key"], "t", "rt", direction="backward"
+            ).collect()
+        }
+        # id 1: exact match at 100; id 2: latest <= 205 is 200; id 3: 300
+        assert out[1][1] == 1.0
+        assert out[2][1] == 2.0
+        assert out[3][1] == 3.0
+        assert out[4] == (None, None)  # u2's only right is at 60 > 50
+        assert out[5] == (None, None)  # u3 has no right rows at all
+
+    def test_forward(self, spark):
+        left, right = self._sides(spark)
+        out = {
+            r["id"]: r["v_matched"]
+            for r in asof_join(
+                left, right, ["key"], "t", "rt", direction="forward"
+            ).collect()
+        }
+        assert out[1] == 1.0   # exact match still counts forward
+        assert out[2] == 3.0   # earliest >= 205 is 300
+        assert out[3] is None  # nothing at/after 399
+        assert out[4] == 4.0
+        assert out[5] is None
+
+    def test_tolerance(self, spark):
+        left, right = self._sides(spark)
+        out = {
+            r["id"]: r["v_matched"]
+            for r in asof_join(
+                left, right, ["key"], "t", "rt",
+                direction="backward", tolerance=10,
+            ).collect()
+        }
+        assert out[1] == 1.0   # gap 0
+        assert out[2] == 2.0   # gap 5
+        assert out[3] is None  # gap 99 > 10 → nulled
+
+    def test_single_exchange_plan(self, spark):
+        left, right = self._sides(spark)
+        plan = _plan(
+            asof_join(left, right, ["key"], "t", "rt")
+        )
+        # the union-tag pattern: exactly one hash exchange (the window on
+        # the key), never a join operator at all
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "Join" not in plan
+
+
+class TestRangeJoin:
+    def _sides(self, spark):
+        points = _ts(
+            spark,
+            [(1, "k", 100), (2, "k", 150), (3, "k", 199), (4, "k", 200),
+             (5, "k", 1500), (6, "other", 150)],
+            ["pid", "key", "p"],
+        )
+        intervals = _ts(
+            spark,
+            [(10, "k", 100, 200),     # [100, 200): catches 100,150,199
+             (11, "k", 140, 1600),    # spans many buckets: 150,199,1500 + 200
+             (12, "other", 0, 1000)],
+            ["iid", "key", "s", "e"],
+        )
+        return points, intervals
+
+    def test_boundaries_and_multi_bucket(self, spark):
+        points, intervals = self._sides(spark)
+        pairs = {
+            (r["pid"], r["iid"])
+            for r in range_join(
+                points, intervals, ["key"], "p", "s", "e", bucket_width=64
+            ).collect()
+        }
+        assert pairs == {
+            (1, 10), (2, 10), (3, 10),         # start incl, end excl (4 out)
+            (2, 11), (3, 11), (4, 11), (5, 11),
+            (6, 12),                            # key isolation
+        }
+
+    def test_exactly_once_per_pair(self, spark):
+        # an interval touching many buckets must not duplicate pairs
+        points, intervals = self._sides(spark)
+        out = range_join(
+            points, intervals, ["key"], "p", "s", "e", bucket_width=16
+        ).groupBy("pid", "iid").count().where("count > 1")
+        assert out.count() == 0
+
+    def test_no_nested_loop_plan(self, spark):
+        points, intervals = self._sides(spark)
+        plan = _plan(
+            range_join(points, intervals, ["key"], "p", "s", "e", 64)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
