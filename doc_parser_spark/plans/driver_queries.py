@@ -4116,3 +4116,55 @@ QUERIES["asof_next_purchase"] = q_asof_next_purchase
 ORACLES["asof_next_purchase"] = ORACLE_ASOF_PURCHASE
 QUERIES["range_join_error_window"] = q_range_join_error_window
 ORACLES["range_join_error_window"] = ORACLE_RANGE_JOIN
+
+
+# ===========================================================================
+# batch 32 — Z-order data layout (OPTIMIZE ZORDER BY analog): the Morton
+# z-value is pure integer arithmetic, so the oracle reproduces it bit for
+# bit; the layout rewrite itself (repartitionByRange on zvalue) is
+# plan/skipping-tested in tests/test_layout.py
+# ===========================================================================
+_Z_BITS = 16
+
+
+def q_layout_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.layout import zorder_value
+
+    src = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return zorder_value(src, ["x", "y"], bits=_Z_BITS).select(
+        "event_id", "x", "y", F.col("zvalue").cast("long").alias("zvalue")
+    )
+
+
+ORACLE_ZORDER = f"""
+WITH src AS (
+  SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS x,
+         floor(value * 100)::BIGINT AS y
+  FROM events
+), b AS (
+  SELECT min(x) AS xmin, max(x) AS xmax,
+         min(y) AS ymin, max(y) AS ymax
+  FROM src
+), s AS (
+  SELECT event_id, x, y,
+         CASE WHEN xmax = xmin THEN 0
+              ELSE ((x - xmin) * {(1 << _Z_BITS) - 1}) // (xmax - xmin)
+         END AS sx,
+         CASE WHEN ymax = ymin THEN 0
+              ELSE ((y - ymin) * {(1 << _Z_BITS) - 1}) // (ymax - ymin)
+         END AS sy
+  FROM src, b
+)
+SELECT event_id, x, y,
+       list_sum(list_transform(range(0, {_Z_BITS}),
+         i -> (((sx >> i) & 1) << (2 * i))
+              + (((sy >> i) & 1) << (2 * i + 1))))::BIGINT AS zvalue
+FROM s
+"""
+
+QUERIES["layout_zorder_value"] = q_layout_zorder_value
+ORACLES["layout_zorder_value"] = ORACLE_ZORDER
