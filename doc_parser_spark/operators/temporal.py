@@ -127,3 +127,81 @@ def range_join(
         )
         .drop("__b")
     )
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable rollup): one
+    row per (level, bucket, keys) with count/sum/min/max/avg, where each
+    coarser level aggregates the FINER level's partials, never the raw
+    table. ``levels`` must be increasing date_trunc granularities.
+
+    Scale (100 TB): only the base level touches raw rows (one map-side-
+    combined exchange); each cascade step re-aggregates a table that is
+    orders of magnitude smaller (minute→hour folds 60 partials, hour→day
+    24), so the refresh cost of the full hierarchy is ~the base aggregate
+    alone — the reason continuous aggregates exist. count/sum/min/max are
+    the classic mergeable partials; avg derives as sum/count at output.
+
+    Sums accumulate in fixed-point ``decimal(18, 2)``: float sums are
+    order-dependent, so a cascaded double sum can land on the other side
+    of a rounding boundary from a direct sum (it did: 307.03/8 =
+    38.37875, exactly halfway at 4 dp) — decimal sums are exact and
+    associative, so every level and every engine agrees bit for bit
+    before the output rounding.
+    """
+    cur = df.groupBy(
+        F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *key_cols
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    # each level is MATERIALIZED (persist) before the next reads it — in
+    # production every level is its own table, which is the whole point of
+    # a continuous aggregate; without this, the lazy union re-derives each
+    # branch from the raw scan and a 3-level hierarchy scans raw 3×
+    # (observed in the physical plan; pinned in tests/test_temporal.py)
+    cur = cur.persist()
+    parts = [cur.withColumn("level", F.lit(levels[0]))]
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *key_cols
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ).persist()
+        parts.append(cur.withColumn("level", F.lit(lvl)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "level",
+        "bucket",
+        *key_cols,
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        # avg rounded to 4 dp in EXACT integer arithmetic — float round()
+        # conventions diverge between engines precisely at the halfway
+        # values that sum/2^k quotients produce (38.37875 → Spark rounds
+        # the shortest decimal string half-up to .3788, engines rounding
+        # the binary value give .3787). HALF_UP(a/n) == (2a + n) div (2n)
+        # for positive integers, identical everywhere.
+        (
+            F.expr(
+                "(200 * cast(sum_value * 100 as bigint) + n_events)"
+                " div (2 * n_events)"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_value"),
+    )

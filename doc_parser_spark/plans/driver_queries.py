@@ -4168,3 +4168,34 @@ FROM s
 
 QUERIES["layout_zorder_value"] = q_layout_zorder_value
 ORACLES["layout_zorder_value"] = ORACLE_ZORDER
+
+
+# ===========================================================================
+# batch 33 — hypertable rollup (multi-resolution continuous aggregate):
+# minute → hour → day cascade where each level aggregates the finer
+# level's partials; the oracle recomputes every level straight from raw,
+# so the cascade's mergeability is what's being checked
+# ===========================================================================
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import rollup_timeseries
+
+    ev = _events(spark, sf_dir)
+    return rollup_timeseries(ev, "ts", ["event_type"], "value")
+
+
+_ROLLUP_LEVEL_SQL = """
+SELECT '{lvl}' AS level, date_trunc('{lvl}', ts) AS bucket, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value::DECIMAL(18,2))::DOUBLE, 4) AS sum_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+       ((200 * (sum(value::DECIMAL(18,2)) * 100)::BIGINT + count(*))
+          // (2 * count(*))) / 10000.0 AS avg_value
+FROM events GROUP BY 2, 3
+"""
+
+ORACLE_ROLLUP = " UNION ALL ".join(
+    _ROLLUP_LEVEL_SQL.format(lvl=lvl) for lvl in ("minute", "hour", "day")
+)
+
+QUERIES["events_rollup_multires"] = q_events_rollup_multires
+ORACLES["events_rollup_multires"] = ORACLE_ROLLUP
