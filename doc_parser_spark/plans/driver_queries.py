@@ -4199,3 +4199,43 @@ ORACLE_ROLLUP = " UNION ALL ".join(
 
 QUERIES["events_rollup_multires"] = q_events_rollup_multires
 ORACLES["events_rollup_multires"] = ORACLE_ROLLUP
+
+
+# ===========================================================================
+# batch 34 — unicode NFC normalization (functions/textnorm.py): the corpus
+# text is ASCII, so both sides append the same decomposed-unicode suffix
+# (combining acute + ring) before normalizing — the query exercises real
+# composition, and DuckDB's native nfc_normalize is the oracle
+# ===========================================================================
+_NFC_SUFFIX = " e\u0301 A\u030a fin"  # decomposed: e+combining-acute, A+combining-ring
+
+
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.functions.textnorm import nfc_normalize_col
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("raw"),
+    )
+    out = docs.withColumn("norm", nfc_normalize_col("raw"))
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        (F.length("norm") < F.length("raw")).alias("composed"),
+        (F.length("raw") - F.length("norm")).cast("int").alias("chars_folded"),
+    )
+
+
+ORACLE_NFC = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       md5(nfc_normalize(text || '{_NFC_SUFFIX}')) AS norm_md5,
+       length(nfc_normalize(text || '{_NFC_SUFFIX}'))
+         < length(text || '{_NFC_SUFFIX}') AS composed,
+       (length(text || '{_NFC_SUFFIX}')
+         - length(nfc_normalize(text || '{_NFC_SUFFIX}')))::INT
+         AS chars_folded
+FROM documents
+"""
+
+QUERIES["text_nfc_normalize"] = q_text_nfc_normalize
+ORACLES["text_nfc_normalize"] = ORACLE_NFC
