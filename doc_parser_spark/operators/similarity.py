@@ -333,3 +333,68 @@ def ivf_train_kmeans(
             "centroid_id", F.coalesce("mvec", "cvec").alias("cvec")
         )
     return cents
+
+
+def _sign_dot_expr(vec_col: str, tag: str) -> str:
+    """Σ_d v[d] · s(tag, d), s ∈ {-1,+1} from md5(tag||'_'||d) — the same
+    deterministic sign construction as the LSH hyperplanes, shared by the
+    JL projection below."""
+    return (
+        f"aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, size({vec_col}) - 1), "
+        f"d -> (conv(substr(md5(concat('{tag}_', d)), 1, 1), 16, 10) % 2) * 2 - 1), "
+        f"(x, s) -> cast(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str, out_dim: int
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: y_j = (1/√k) Σ_d
+    x_d · s(j, d) with the deterministic md5 sign matrix (Achlioptas 2003
+    ±1 variant — same distance-preservation guarantee as Gaussian, no
+    stored model, no RNG, reproducible on any engine). The standard
+    dimensionality squeeze BEFORE ANN/clustering: 64-d float32 → k-d cuts
+    the shuffle payload of every downstream vector operator by 64/k.
+
+    Row-local (zero shuffle); adds ``proj`` (array<double>, length
+    ``out_dim``).
+    """
+    comps = ", ".join(
+        f"{_sign_dot_expr(vec_col, f'jl{j}')} / sqrt(cast({out_dim} AS DOUBLE))"
+        for j in range(out_dim)
+    )
+    return df.withColumn("proj", F.expr(f"array({comps})"))
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector uint8 quantization (the standard 4× embedding storage/
+    bandwidth squeeze): q_i = floor((x_i - min) · 255 / (max - min) + 0.5)
+    over the vector's own min/max — floor on identical doubles, so any
+    engine reproduces the codes exactly. Adds ``q`` (array<int>, 0..255),
+    ``q_min``/``q_max`` (the dequant anchors) and ``recon_mse`` (mean
+    squared reconstruction error of dequantization — the quality gauge).
+    Row-local, zero shuffle.
+    """
+    # min/max promoted to DOUBLE before any arithmetic: a float32
+    # (mx - mn) subtraction rounds differently from the double one and
+    # flipped a halfway quantization code vs the oracle
+    mn = f"cast(array_min({vec_col}) AS DOUBLE)"
+    mx = f"cast(array_max({vec_col}) AS DOUBLE)"
+    q = (
+        f"CASE WHEN {mx} = {mn} THEN transform({vec_col}, x -> 0) "
+        f"ELSE transform({vec_col}, x -> cast(floor((cast(x AS DOUBLE) - {mn})"
+        f" * 255D / ({mx} - {mn}) + 0.5D) AS INT)) END"
+    )
+    out = df.withColumn("q", F.expr(q))
+    mse = (
+        f"aggregate(zip_with({vec_col}, q, (x, qq) -> "
+        f"pow(cast(x AS DOUBLE) - (cast({mn} AS DOUBLE) + cast(qq AS DOUBLE)"
+        f" * (cast({mx} AS DOUBLE) - {mn}) / 255D), 2)), 0D,"
+        f" (acc, v) -> acc + v) / size({vec_col})"
+    )
+    return (
+        out.withColumn("q_min", F.expr(mn).cast("double"))
+        .withColumn("q_max", F.expr(mx).cast("double"))
+        .withColumn("recon_mse", F.expr(mse))
+    )

@@ -4239,3 +4239,93 @@ FROM documents
 
 QUERIES["text_nfc_normalize"] = q_text_nfc_normalize
 ORACLES["text_nfc_normalize"] = ORACLE_NFC
+
+
+# ===========================================================================
+# batch 35 — embedding infrastructure: JL sign random projection (the
+# pre-ANN dimensionality squeeze) and per-vector uint8 quantization (the
+# 4x storage squeeze) — both row-local, both bit-reproducible (md5 sign
+# matrix; floor on identical doubles), both with exact oracles
+# ===========================================================================
+_JL_DIM = 8
+
+
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import random_projection
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    out = random_projection(emb, "vec_id", "embedding", out_dim=_JL_DIM)
+    return out.select(
+        "vec_id",
+        F.posexplode("proj").alias("j", "y"),
+    ).select("vec_id", F.col("j").cast("int").alias("j"),
+             F.round("y", 6).alias("y"))
+
+
+def _jl_dot_sql(j: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, len(embedding)), "
+        f"d -> embedding[d + 1]::DOUBLE * "
+        f"((('0x' || substr(md5('jl{j}_' || d), 1, 1))::BIGINT % 2) * 2 - 1)))"
+        f" / sqrt({_JL_DIM}::DOUBLE)"
+    )
+
+
+ORACLE_JL = " UNION ALL ".join(
+    f"SELECT vec_id::BIGINT AS vec_id, {j}::INT AS j, "
+    f"round({_jl_dot_sql(j)}, 6) AS y FROM embeddings"
+    for j in range(_JL_DIM)
+)
+
+
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.similarity import quantize_int8
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.expr("aggregate(q, 0L, (a, v) -> a + v)").alias("q_sum"),
+        F.expr("array_min(q)").cast("int").alias("q_lo"),
+        F.expr("array_max(q)").cast("int").alias("q_hi"),
+        F.round("q_min", 6).alias("q_min"),
+        F.round("q_max", 6).alias("q_max"),
+        F.round("recon_mse", 8).alias("recon_mse"),
+    )
+
+
+ORACLE_QUANT = """
+WITH s AS (
+  SELECT vec_id::BIGINT AS vec_id, embedding,
+         list_min(embedding)::DOUBLE AS mn,
+         list_max(embedding)::DOUBLE AS mx
+  FROM embeddings
+), q AS (
+  SELECT vec_id, embedding, mn, mx,
+         CASE WHEN mx = mn THEN list_transform(embedding, x -> 0::BIGINT)
+              ELSE list_transform(embedding,
+                x -> floor((x::DOUBLE - mn) * 255 / (mx - mn) + 0.5)::BIGINT)
+         END AS qs
+  FROM s
+)
+SELECT vec_id,
+       list_sum(qs)::BIGINT AS q_sum,
+       list_min(qs)::INT AS q_lo,
+       list_max(qs)::INT AS q_hi,
+       round(mn, 6) AS q_min,
+       round(mx, 6) AS q_max,
+       round(list_sum(list_transform(range(0, len(embedding)),
+               d -> pow(embedding[d + 1]::DOUBLE
+                        - (mn + qs[d + 1] * (mx - mn) / 255), 2)))
+             / len(embedding), 8) AS recon_mse
+FROM q
+"""
+
+QUERIES["embed_random_projection"] = q_embed_random_projection
+ORACLES["embed_random_projection"] = ORACLE_JL
+QUERIES["embed_quantize_int8"] = q_embed_quantize_int8
+ORACLES["embed_quantize_int8"] = ORACLE_QUANT

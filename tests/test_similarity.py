@@ -120,3 +120,92 @@ class TestIvfKmeans:
         b = ivf_train_kmeans(df, "vec_id", "embedding", k=3, iterations=2,
                              dim=8).collect()
         assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+class TestEmbeddingInfra:
+    def _emb(self, spark, n=40, dim=32):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(v) for v in rng.normal(size=dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_jl_preserves_distances(self, spark):
+        import numpy as np
+
+        from doc_parser_spark.operators.similarity import random_projection
+
+        df = self._emb(spark, n=30, dim=64)
+        out = {
+            r["vec_id"]: np.array(r["proj"])
+            for r in random_projection(
+                df, "vec_id", "embedding", out_dim=16
+            ).collect()
+        }
+        src = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        # JL guarantee is statistical: check the MEDIAN pairwise distance
+        # ratio is near 1 and no ratio is wildly off
+        ratios = []
+        ids = sorted(src)
+        for i in ids[:12]:
+            for j in ids[:12]:
+                if i < j:
+                    d0 = np.linalg.norm(src[i] - src[j])
+                    d1 = np.linalg.norm(out[i] - out[j])
+                    ratios.append(d1 / d0)
+        med = sorted(ratios)[len(ratios) // 2]
+        assert 0.7 < med < 1.3
+        assert all(0.3 < r < 2.5 for r in ratios)
+
+    def test_jl_deterministic(self, spark):
+        from doc_parser_spark.operators.similarity import random_projection
+
+        df = self._emb(spark, n=5)
+        a = random_projection(df, "vec_id", "embedding", 8).collect()
+        b = random_projection(df, "vec_id", "embedding", 8).collect()
+        assert sorted(map(str, a)) == sorted(map(str, b))
+
+    def test_quantize_roundtrip_bound(self, spark):
+        import numpy as np
+
+        from doc_parser_spark.operators.similarity import quantize_int8
+
+        df = self._emb(spark, n=20, dim=48)
+        for r in quantize_int8(df, "vec_id", "embedding").collect():
+            x = np.array(r["embedding"], dtype=np.float64)
+            assert all(0 <= q <= 255 for q in r["q"])
+            scale = (r["q_max"] - r["q_min"]) / 255
+            deq = r["q_min"] + np.array(r["q"]) * scale
+            # nearest-code quantization: every element within scale/2
+            assert np.abs(deq - x).max() <= scale / 2 + 1e-12
+            assert r["recon_mse"] <= (scale / 2) ** 2 + 1e-12
+
+    def test_quantize_constant_vector(self, spark):
+        from doc_parser_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame([(1, [2.5, 2.5, 2.5])],
+                                   ["vec_id", "embedding"])
+        r = quantize_int8(df, "vec_id", "embedding").collect()[0]
+        assert r["q"] == [0, 0, 0]
+        assert r["recon_mse"] == 0.0
+
+    def test_row_local_plans(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from doc_parser_spark.operators.similarity import (
+            quantize_int8,
+            random_projection,
+        )
+
+        df = self._emb(spark, n=5)
+        for op in (
+            lambda d: random_projection(d, "vec_id", "embedding", 4),
+            lambda d: quantize_int8(d, "vec_id", "embedding"),
+        ):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                op(df).explain("formatted")
+            assert "Exchange" not in buf.getvalue()
