@@ -560,3 +560,85 @@ def temperature_mixture_sample(
         "weight",
         F.when(sampled, F.round(1.0 / F.col("rate"), 4)).otherwise(F.lit(0.0)),
     )
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = DEFAULT_LM_VOCAB,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung above
+    ``lm_quality_score``'s unigram toward CCNet's KenLM: per-doc mean
+    negative log-likelihood of each token given its predecessor,
+    ``-ln(λ·P(cur|prev) + (1-λ)·P(cur))``, trained on the corpus itself.
+    Tokens outside the top ``vocab_size`` vocabulary map to ``<unk>``
+    BEFORE counting, so the model is closed over K+1 types and unseen
+    bigrams are handled by the unigram interpolation term (λ < 1 — the
+    textbook Jelinek-Mercer mixture, no extra smoothing needed).
+
+    Output: one row per document with ≥2 tokens:
+    (id, n_bigrams, nll) — high nll = unusual-for-the-corpus sequencing
+    (gibberish, shuffled text, boilerplate), threshold-filterable.
+
+    Scale (100 TB): the closed vocab bounds the bigram model at (K+1)²
+    rows and the unigram at K+1 — both broadcast, so scoring joins are
+    map-side. Real shuffles: the token-count aggregate, the per-doc
+    window for adjacency (keyed by id — constant-width rows), the bigram
+    count aggregate, and the final per-doc mean. All counts are exact
+    integers; probabilities divide as doubles identically on any engine.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                "w -> w != '')"
+            )
+        ).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("iv"))
+    )
+    mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.when(F.col("iv") == 1, F.col("tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("m"),
+    )
+    uni = mapped.groupBy("m").agg(F.count("*").alias("cu"))
+    total = uni.agg(F.sum("cu").cast("double").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = mapped.withColumn("prev", F.lag("m").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    cb = big.groupBy("prev", "m").agg(F.count("*").alias("c2"))
+    cp = cb.groupBy("prev").agg(F.sum("c2").alias("cprev"))
+    scored = (
+        big.join(F.broadcast(cb), ["prev", "m"])
+        .join(F.broadcast(cp), "prev")
+        .join(F.broadcast(uni), "m")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.lit(lam)
+                    * (F.col("c2").cast("double") / F.col("cprev"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("cu").cast("double") / F.col("t"))
+                )
+            ).alias("nll_tok"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.avg("nll_tok"), 4).alias("nll"),
+    )

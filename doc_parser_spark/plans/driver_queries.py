@@ -4329,3 +4329,82 @@ QUERIES["embed_random_projection"] = q_embed_random_projection
 ORACLES["embed_random_projection"] = ORACLE_JL
 QUERIES["embed_quantize_int8"] = q_embed_quantize_int8
 ORACLES["embed_quantize_int8"] = ORACLE_QUANT
+
+
+# ===========================================================================
+# batch 36 — interpolated bigram LM (Jelinek-Mercer mixture over a closed
+# top-K + <unk> vocab): the rung above quality_lm_nll's unigram toward
+# CCNet's KenLM; the full train+score loop has an exact oracle
+# ===========================================================================
+_BIGRAM_VOCAB = 256
+_BIGRAM_LAM = 0.7
+
+
+def q_quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import lm_bigram_score
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return lm_bigram_score(
+        docs, "doc_id", "text", vocab_size=_BIGRAM_VOCAB, lam=_BIGRAM_LAM
+    )
+
+
+ORACLE_LM_BIGRAM = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(range(0, len(ws))) AS pos,
+         unnest(ws) AS tok
+  FROM t
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM counts ORDER BY c DESC, tok LIMIT {_BIGRAM_VOCAB}
+),
+mapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+              ELSE '<unk>' END AS m
+  FROM tok
+),
+uni AS (
+  SELECT m, count(*)::BIGINT AS cu FROM mapped GROUP BY m
+),
+total AS (
+  SELECT sum(cu)::DOUBLE AS t FROM uni
+),
+big AS (
+  SELECT doc_id, m AS cur,
+         lag(m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM mapped
+  QUALIFY prev IS NOT NULL
+),
+cb AS (
+  SELECT prev, cur, count(*)::BIGINT AS c2 FROM big GROUP BY prev, cur
+),
+cp AS (
+  SELECT prev, sum(c2)::BIGINT AS cprev FROM cb GROUP BY prev
+)
+SELECT b.doc_id,
+       count(*)::INT AS n_bigrams,
+       round(avg(-ln({_BIGRAM_LAM} * (cb.c2::DOUBLE / cp.cprev)
+                     + {1.0 - _BIGRAM_LAM} * (u.cu::DOUBLE / tt.t))), 4)
+         AS nll
+FROM big b
+JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+JOIN cp ON cp.prev = b.prev
+JOIN uni u ON u.m = b.cur, total tt
+GROUP BY b.doc_id
+"""
+
+QUERIES["quality_lm_bigram"] = q_quality_lm_bigram
+ORACLES["quality_lm_bigram"] = ORACLE_LM_BIGRAM

@@ -507,3 +507,69 @@ class TestTemperatureMixture:
         # the corpus side must not sort-merge; rates ride a broadcast
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBigramLM:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from doc_parser_spark.operators.curation import lm_bigram_score
+
+        # corpus: "a b a b" and "a b" — every token in vocab
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: (r["n_bigrams"], r["nll"])
+            for r in lm_bigram_score(
+                docs, "doc_id", "text", vocab_size=10, lam=0.5
+            ).collect()
+        }
+        # counts: uni a=3 b=3 total 6; bigrams: (a,b)x3, (b,a)x1.
+        # bigram-MLE denominators are HISTORY counts (Σ_cur c(prev,cur)):
+        # c(a,·)=3 → P(b|a)=3/3=1; c(b,·)=1 → P(a|b)=1/1=1 (b is history
+        # only once — its other occurrences are doc-final)
+        ll_ab = -math.log(0.5 * 1.0 + 0.5 * 0.5)
+        ll_ba = -math.log(0.5 * 1.0 + 0.5 * 0.5)
+        assert out[1][0] == 3
+        assert out[1][1] == round((2 * ll_ab + ll_ba) / 3, 4)
+        assert out[2] == (1, round(ll_ab, 4))
+
+    def test_sequencing_sensitivity(self, spark):
+        from doc_parser_spark.operators.curation import lm_bigram_score
+
+        # many docs share a strong word ORDER; one doc has the same words
+        # shuffled — identical unigram profile, so only a bigram model can
+        # rank it worse
+        natural = "the quick brown fox jumps over the lazy dog"
+        shuffled = "dog the over quick lazy fox the jumps brown"
+        docs = spark.createDataFrame(
+            [(i, natural) for i in range(10)] + [(99, shuffled)],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["nll"]
+            for r in lm_bigram_score(
+                docs, "doc_id", "text", vocab_size=50, lam=0.7
+            ).collect()
+        }
+        assert out[99] > out[0] + 0.5
+
+    def test_unk_and_short_docs(self, spark):
+        from doc_parser_spark.operators.curation import lm_bigram_score
+
+        docs = spark.createDataFrame(
+            [(1, "common common common rare1"), (2, "common common"),
+             (3, "solo"), (4, "")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in lm_bigram_score(
+                docs, "doc_id", "text", vocab_size=1, lam=0.5
+            ).collect()
+        }
+        # docs 3 (one token) and 4 (empty) emit no rows
+        assert set(out) == {1, 2}
+        # rare1 maps to <unk>; its bigram still scores via interpolation
+        assert out[1]["n_bigrams"] == 3
