@@ -642,3 +642,74 @@ def lm_bigram_score(
         F.count("*").cast("int").alias("n_bigrams"),
         F.round(F.avg("nll_tok"), 4).alias("nll"),
     )
+
+
+def mine_phrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delta: int = 5,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Collocation / phrase detection (Mikolov et al. 2013, the word2vec
+    phrase pass): score adjacent word pairs by
+    ``(c(a,b) - delta) * N / (c(a) * c(b))`` — high when the pair
+    co-occurs far more than its parts' frequencies predict; ``delta``
+    discounts rare accidental pairs. Pairs above ``threshold`` are the
+    phrases you'd join with '_' before embedding training.
+
+    Returns (w1, w2, pair_count, score) for scoring pairs, descending
+    score with a deterministic (w1, w2) tiebreak.
+
+    Scale: token counts and pair counts are two map-side-combined
+    aggregates; the scoring join keys on single words (the unigram side is
+    |vocab|-bounded → broadcast). The corpus text never rides a shuffle —
+    adjacency comes from a per-doc window over exploded (id, pos, token)
+    rows, constant width.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                "w -> w != '')"
+            )
+        ).alias("pos", "tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("n"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("w1", F.lag("tok").over(w))
+        .where(F.col("w1").isNotNull())
+        .select("w1", F.col("tok").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") > delta)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "raw_score",
+            (F.col("pair_count") - delta)
+            * F.col("n")
+            / (F.col("c1") * F.col("c2")),
+        )
+        # threshold on the UNROUNDED score (exact-integer arithmetic →
+        # identical doubles on any engine, so the cutoff can't straddle a
+        # rounding boundary — the tfidf_top_terms lesson)
+        .where(F.col("raw_score") > threshold)
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round("raw_score", 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "w1", "w2")
+    )

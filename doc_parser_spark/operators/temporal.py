@@ -205,3 +205,54 @@ def rollup_timeseries(
             / F.lit(10000.0)
         ).alias("avg_value"),
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-range features: for every event, the count/sum/mean of
+    the SAME key's events in the preceding ``window_seconds`` (inclusive of
+    the current row) — the standard point-in-time feature-engineering shape
+    (no leakage: only past rows enter the window).
+
+    Spark's RANGE window frame does this natively over an epoch-seconds
+    ordering: ONE shuffle on the key, then a per-key time sort; no
+    self-join, no interval explosion. Same caveats as asof_join for hot
+    keys. Sum accumulates in decimal(18,2) so the sliding-window partial
+    arithmetic is exact (same rationale as rollup_timeseries).
+    """
+    from pyspark.sql import Window
+
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(sec)
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    out = df.select(
+        *df.columns,
+        F.count("*").over(w).cast("long").alias("trailing_n"),
+        F.sum(dec).over(w).alias("__sum_dec"),
+    )
+    # mean rounds via integer HALF_UP — same rationale as
+    # rollup_timeseries: engines disagree on float round() exactly at the
+    # halfway values sum/2^k windows produce (278.09/8 = 34.76125)
+    return (
+        out.withColumn(
+            "trailing_sum", F.round(F.col("__sum_dec").cast("double"), 4)
+        )
+        .withColumn(
+            "trailing_mean",
+            F.expr(
+                "(200 * cast(__sum_dec * 100 as bigint) + trailing_n)"
+                " div (2 * trailing_n)"
+            )
+            / F.lit(10000.0),
+        )
+        .drop("__sum_dec")
+    )

@@ -4408,3 +4408,102 @@ GROUP BY b.doc_id
 
 QUERIES["quality_lm_bigram"] = q_quality_lm_bigram
 ORACLES["quality_lm_bigram"] = ORACLE_LM_BIGRAM
+
+
+# ===========================================================================
+# batch 37 — trailing time-range features (point-in-time correctness: only
+# past rows in the frame — the feature-engineering shape that avoids
+# label leakage); Spark RANGE frame vs DuckDB RANGE frame
+# ===========================================================================
+_ROLL_WIN = 86400  # trailing 24 h
+
+
+def q_events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import rolling_features
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "value",
+    )
+    out = rolling_features(ev, "ts", ["user_id"], "value", _ROLL_WIN)
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        "trailing_n", "trailing_sum", "trailing_mean",
+    )
+
+
+ORACLE_ROLLING = f"""
+SELECT event_id::BIGINT AS event_id,
+       user_id::BIGINT AS user_id,
+       floor(epoch(ts))::BIGINT AS ts_sec,
+       count(*) OVER w::BIGINT AS trailing_n,
+       round((sum(value::DECIMAL(18,2)) OVER w)::DOUBLE, 4) AS trailing_sum,
+       ((200 * ((sum(value::DECIMAL(18,2)) OVER w) * 100)::BIGINT
+          + count(*) OVER w) // (2 * count(*) OVER w)) / 10000.0
+         AS trailing_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+             RANGE BETWEEN {_ROLL_WIN - 1} PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["events_rolling_features"] = q_events_rolling_features
+ORACLES["events_rolling_features"] = ORACLE_ROLLING
+
+
+# ===========================================================================
+# batch 38 — phrase mining (word2vec collocation pass): pairs co-occurring
+# far above their parts' frequency product; exact count arithmetic
+# ===========================================================================
+_PHRASE_DELTA = 3
+_PHRASE_THRESHOLD = 1.5
+
+
+def q_text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import mine_phrases
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return mine_phrases(
+        docs, "doc_id", "text",
+        delta=_PHRASE_DELTA, threshold=_PHRASE_THRESHOLD,
+    )
+
+
+ORACLE_PHRASES = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS tok
+  FROM t
+),
+uni AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+total AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+pairs AS (
+  SELECT w1, tok AS w2, count(*)::BIGINT AS pair_count
+  FROM (SELECT doc_id, pos, tok,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tok)
+  WHERE w1 IS NOT NULL
+  GROUP BY w1, tok
+  HAVING count(*) > {_PHRASE_DELTA}
+)
+SELECT p.w1, p.w2, p.pair_count,
+       round((p.pair_count - {_PHRASE_DELTA}) * t.n
+             / (u1.c * u2.c), 4) AS score
+FROM pairs p
+JOIN uni u1 ON u1.tok = p.w1
+JOIN uni u2 ON u2.tok = p.w2, total t
+WHERE (p.pair_count - {_PHRASE_DELTA}) * t.n / (u1.c * u2.c)
+        > {_PHRASE_THRESHOLD}
+"""
+
+QUERIES["text_phrase_mining"] = q_text_phrase_mining
+ORACLES["text_phrase_mining"] = ORACLE_PHRASES

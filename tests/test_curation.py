@@ -573,3 +573,39 @@ class TestBigramLM:
         assert set(out) == {1, 2}
         # rare1 maps to <unk>; its bigram still scores via interpolation
         assert out[1]["n_bigrams"] == 3
+
+
+class TestPhraseMining:
+    def test_planted_collocation_ranks_high(self, spark):
+        from doc_parser_spark.operators.curation import mine_phrases
+
+        # "neural network" always adjacent; "data" and "model" frequent but
+        # independently placed — the score must separate them
+        docs = []
+        for i in range(20):
+            docs.append((i, "neural network is a neural network model"))
+            docs.append((100 + i, "data goes here and model goes there"))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {
+            (r["w1"], r["w2"]): r["score"]
+            for r in mine_phrases(
+                df, "doc_id", "text", delta=3, threshold=1.0
+            ).collect()
+        }
+        assert ("neural", "network") in out
+        # frequent-but-independent words never pair adjacently here
+        assert ("data", "model") not in out
+
+    def test_delta_discounts_rare_pairs(self, spark):
+        from doc_parser_spark.operators.curation import mine_phrases
+
+        # a pair occurring exactly delta times is filtered out entirely
+        df = spark.createDataFrame(
+            [(i, "rare pair") for i in range(3)]
+            + [(10 + i, "filler words only here") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        out = mine_phrases(df, "doc_id", "text", delta=3, threshold=0.0)
+        assert ("rare", "pair") not in {
+            (r["w1"], r["w2"]) for r in out.collect()
+        }

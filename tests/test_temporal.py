@@ -199,3 +199,44 @@ class TestRollup:
             first_raw = seg.find("Scan ExistingRDD")
             assert first_cache != -1
             assert first_raw == -1 or first_cache < first_raw
+
+
+class TestRollingFeatures:
+    def test_point_in_time_window(self, spark):
+        from doc_parser_spark.operators.temporal import rolling_features
+
+        # one key, events at t = 0, 50, 100, 200; 100-second trailing
+        # window (inclusive frame [t-99, t])
+        rows = [(1, "k", 0, 10.0), (2, "k", 50, 20.0),
+                (3, "k", 100, 30.0), (4, "k", 200, 40.0),
+                (5, "other", 60, 99.0)]
+        df = spark.createDataFrame(
+            rows, ["id", "key", "t", "value"]
+        ).selectExpr("id", "key", "cast(t as timestamp) AS ts", "value")
+        out = {
+            r["id"]: (r["trailing_n"], r["trailing_sum"])
+            for r in rolling_features(
+                df, "ts", ["key"], "value", window_seconds=100
+            ).collect()
+        }
+        assert out[1] == (1, 10.0)
+        assert out[2] == (2, 30.0)   # frame [-49, 50] holds t=0 and t=50
+        assert out[3] == (2, 50.0)   # frame [1, 100] EXCLUDES t=0
+        assert out[4] == (1, 40.0)   # nothing within [101, 200]
+        assert out[5] == (1, 99.0)   # key isolation
+
+    def test_no_future_leakage(self, spark):
+        from doc_parser_spark.operators.temporal import rolling_features
+
+        rows = [(1, "k", 100, 1.0), (2, "k", 101, 100.0)]
+        df = spark.createDataFrame(
+            rows, ["id", "key", "t", "value"]
+        ).selectExpr("id", "key", "cast(t as timestamp) AS ts", "value")
+        out = {
+            r["id"]: r["trailing_sum"]
+            for r in rolling_features(
+                df, "ts", ["key"], "value", window_seconds=50
+            ).collect()
+        }
+        assert out[1] == 1.0    # the later event must NOT leak backward
+        assert out[2] == 101.0
