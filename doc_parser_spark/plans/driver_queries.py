@@ -4507,3 +4507,108 @@ WHERE (p.pair_count - {_PHRASE_DELTA}) * t.n / (u1.c * u2.c)
 
 QUERIES["text_phrase_mining"] = q_text_phrase_mining
 ORACLES["text_phrase_mining"] = ORACLE_PHRASES
+
+
+# ===========================================================================
+# batch 39 — search layer (operators/search.py): inverted index with a
+# statistical stop list (df-ratio cap = the posting-skew guard) and BM25
+# top-k with engine-deterministic ranking
+# ===========================================================================
+_IDX_MAX_DF = 0.78
+_BM25_TERMS = ["dup", "window", "merge"]
+_BM25_K = 20
+
+
+def q_search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.search import build_inverted_index
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    idx = build_inverted_index(
+        docs, "doc_id", "text", max_df_ratio=_IDX_MAX_DF
+    )
+    return idx.select(
+        "term", "df", F.explode("postings").alias("p")
+    ).select(
+        "term", "df",
+        F.col("p.doc").cast("long").alias("doc"),
+        F.col("p.tf").cast("long").alias("tf"),
+    )
+
+
+ORACLE_INVERTED = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+dt AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT d.term, f.df, d.doc_id AS doc, d.tf
+FROM dt d JOIN dfreq f USING (term), n
+WHERE f.df <= n.nd * {_IDX_MAX_DF}
+"""
+
+
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.search import bm25_topk
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bm25_topk(
+        docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K
+    )
+
+
+def _bm25_term_sql(i: int, t: str) -> str:
+    return (
+        f"sum(CASE WHEN term = '{t}' THEN "
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) END)"
+    )
+
+
+ORACLE_BM25 = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len(ws))::DOUBLE / count(*) AS avgdl
+  FROM t
+),
+tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+dt AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term),
+q AS (
+  SELECT d.doc_id, d.term, d.dl, d.tf, f.df, s.n_docs, s.avgdl
+  FROM dt d JOIN dfreq f USING (term), stats s
+  WHERE d.term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+),
+scored AS (
+  SELECT doc_id,
+         {" + ".join(f"coalesce({_bm25_term_sql(i, t)}, 0.0)"
+                     for i, t in enumerate(_BM25_TERMS))} AS raw
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id LIMIT {_BM25_K}
+"""
+
+QUERIES["search_inverted_index"] = q_search_inverted_index
+ORACLES["search_inverted_index"] = ORACLE_INVERTED
+QUERIES["search_bm25_topk"] = q_search_bm25_topk
+ORACLES["search_bm25_topk"] = ORACLE_BM25
