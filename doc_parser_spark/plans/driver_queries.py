@@ -4612,3 +4612,83 @@ QUERIES["search_inverted_index"] = q_search_inverted_index
 ORACLES["search_inverted_index"] = ORACLE_INVERTED
 QUERIES["search_bm25_topk"] = q_search_bm25_topk
 ORACLES["search_bm25_topk"] = ORACLE_BM25
+
+
+# ===========================================================================
+# batch 40 — incremental batch-vs-corpus dedup (the production ingest
+# shape: new batch checked against the existing corpus's hash + LSH-band
+# indexes, never corpus×corpus). old = even neardup docs; new = the odd
+# near-dup variants plus re-labeled exact copies of every 10th old doc.
+# ===========================================================================
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import dedup_incremental
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.where(F.col("doc_id") % 2 == 0)
+    new = corpus.where(F.col("doc_id") % 2 == 1).unionByName(
+        old.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "payload"
+        )
+    )
+    return dedup_incremental(new, old, "doc_id", "payload", threshold=0.2)
+
+
+ORACLE_DEDUP_INCR = f"""
+WITH corpus AS ({NEARDUP_SQL}),
+old AS (SELECT doc_id, payload FROM corpus WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, payload FROM corpus WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 10000, payload FROM old WHERE doc_id % 10 = 0
+),
+oh AS (
+  SELECT md5(payload) AS h, min(doc_id) AS exact_old_id FROM old GROUP BY 1
+),
+shn AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM new)
+),
+sho AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM old)
+),
+sign AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM shn),
+sigo AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM sho),
+bn AS (
+  SELECT doc_id AS new_id, 0 AS band,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS bucket FROM sign
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sign
+),
+bo AS (
+  SELECT doc_id AS old_id, 0 AS band,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS bucket FROM sigo
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sigo
+),
+cand AS (
+  SELECT DISTINCT a.new_id, b.old_id
+  FROM bn a JOIN bo b ON a.band = b.band AND a.bucket = b.bucket
+),
+near AS (
+  SELECT c.new_id AS doc_id, min(c.old_id) AS near_old_id
+  FROM cand c
+  JOIN shn ON shn.doc_id = c.new_id
+  JOIN sho ON sho.doc_id = c.old_id
+  WHERE len(list_intersect(shn.shingles, sho.shingles))
+        / (len(shn.shingles) + len(sho.shingles)
+           - len(list_intersect(shn.shingles, sho.shingles))) >= 0.2
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CASE WHEN oh.exact_old_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_old_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       coalesce(oh.exact_old_id, nr.near_old_id)::BIGINT AS matched_old_id
+FROM new n
+LEFT JOIN oh ON oh.h = md5(n.payload)
+LEFT JOIN near nr ON nr.doc_id = n.doc_id
+"""
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCR

@@ -106,3 +106,48 @@ class TestSubstringSpans:
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIncrementalDedup:
+    def test_statuses(self, spark):
+        from doc_parser_spark.operators.dedup import dedup_incremental
+
+        old = _mkdocs(
+            spark,
+            [
+                "the quick brown fox jumps over the lazy dog today",  # 0
+                "completely different content about spark engines",    # 1
+            ],
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog today"),
+                (11, "the quick brown fox jumps over the lazy dog "
+                     "today with extra tail"),
+                (12, "utterly unrelated words that match nothing at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["status"], r["matched_old_id"])
+            for r in dedup_incremental(
+                new, old, "doc_id", "text", threshold=0.2
+            ).collect()
+        }
+        assert out[10] == ("exact_dup", 0)
+        assert out[11] == ("near_dup", 0)
+        assert out[12] == ("novel", None)
+
+    def test_no_old_by_old_work(self, spark):
+        # the old side must appear only as aggregated indexes (hash set,
+        # band buckets, shingles for verify) joined against the NEW batch;
+        # no old-old self join → no plan node joins two old-derived scans
+        # on equality of old ids. Weak but cheap proxy: candidate count is
+        # bounded by new×bands, and a pure-old corpus yields no rows.
+        from doc_parser_spark.operators.dedup import dedup_incremental
+
+        old = _mkdocs(spark, ["aa bb cc dd ee ff gg", "hh ii jj kk ll mm"])
+        empty_new = spark.createDataFrame([], "doc_id long, text string")
+        assert dedup_incremental(
+            empty_new, old, "doc_id", "text"
+        ).count() == 0
