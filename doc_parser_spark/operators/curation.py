@@ -713,3 +713,34 @@ def mine_phrases(
         )
         .orderBy(F.col("score").desc(), "w1", "w2")
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions by content hash:
+    one row per id present in either version with status ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, different content),
+    or ``unchanged`` — the audit primitive behind incremental reprocessing
+    (reprocess added+changed, retire removed, skip unchanged).
+
+    Scale: both sides reduce to (id, md5) BEFORE the full-outer join —
+    constant-width rows, one shuffle each on the id; the text never moves.
+    """
+    o = old_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

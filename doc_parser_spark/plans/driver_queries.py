@@ -4692,3 +4692,55 @@ LEFT JOIN near nr ON nr.doc_id = n.doc_id
 
 QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCR
+
+
+# ===========================================================================
+# batch 41 — corpus snapshot diff (incremental-reprocessing audit): old =
+# documents; new = deterministic perturbation (every 7th changed, every
+# 11th dropped, shadow ids added) built identically on both engines
+# ===========================================================================
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import corpus_diff
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    new = (
+        docs.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new, "doc_id", "text")
+
+
+ORACLE_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id::BIGINT AS doc_id, md5(text) AS h FROM documents
+),
+new AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT (doc_id + 100000)::BIGINT, md5(text)
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+QUERIES["corpus_snapshot_diff"] = q_corpus_snapshot_diff
+ORACLES["corpus_snapshot_diff"] = ORACLE_CORPUS_DIFF

@@ -609,3 +609,23 @@ class TestPhraseMining:
         assert ("rare", "pair") not in {
             (r["w1"], r["w2"]) for r in out.collect()
         }
+
+
+class TestCorpusDiff:
+    def test_all_statuses(self, spark):
+        from doc_parser_spark.operators.curation import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "will change"), (3, "will vanish")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "changed!"), (4, "brand new")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new, "doc_id", "text").collect()
+        }
+        assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "added"}
