@@ -295,3 +295,68 @@ class TestStreamingDedup:
         assert (
             out["extracted_text"].str.contains("duplicate payload").sum() == 1
         )
+
+
+class TestStreamingCuration:
+    def test_sampling_and_enrichment_compose_onto_streams(
+        self, spark, tmp_path
+    ):
+        """The curation layer runs UNCHANGED on streaming DataFrames:
+        stratified_sample is a pure row function (md5 draw — no RNG
+        state), so the streamed decision per row is bit-identical to the
+        batch decision, across micro-batch boundaries and retries; a
+        static dimension joins in as a broadcast stream-static join."""
+        from doc_parser_spark.operators.curation import stratified_sample
+
+        rows = [(i, "abc"[i % 3], f"text {i}") for i in range(300)]
+        inp = str(tmp_path / "in")
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        ).coalesce(5).write.parquet(inp)
+
+        rates = {"a": 0.5, "b": 1.0, "c": 0.0}
+        dim = spark.createDataFrame(
+            [("a", "latin"), ("b", "latin"), ("c", "cyrillic")],
+            ["lang", "script"],
+        )
+
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+            .parquet(inp)
+        )
+        out = stratified_sample(stream, "doc_id", "lang", rates).join(
+            F.broadcast(dim), "lang"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(str(tmp_path / "out"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        exp = (
+            stratified_sample(
+                spark.createDataFrame(
+                    rows, "doc_id long, lang string, text string"
+                ),
+                "doc_id",
+                "lang",
+                rates,
+            )
+            .join(F.broadcast(dim), "lang")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert len(got) == 300
+        assert got["sampled"].tolist() == exp["sampled"].tolist()
+        assert got["weight"].tolist() == exp["weight"].tolist()
+        assert got["script"].tolist() == exp["script"].tolist()
