@@ -744,3 +744,57 @@ def corpus_diff(
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+def profile_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-row corpus data profile — the sanity dashboard computed before
+    any curation decision: row/null/empty counts, exact-distinct content
+    count (md5), token totals, and the token-length distribution
+    (min/p25/p50/p90/max, exact interpolated percentiles).
+
+    Scale: a single aggregate pass (map-side combined); the only
+    non-streaming piece is the percentile, which Spark computes with a
+    distributed sort-based exact algorithm — acceptable for a profile job;
+    use approx_percentile when profiling interactively at full corpus
+    scale. avg rounds via integer HALF_UP (exact token sums), the
+    engine-portable form.
+    """
+    toks = F.size(
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), w -> w != '')"
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.when(F.col(text_col).isNull(), None).otherwise(toks).alias("nt"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(
+            F.when(
+                F.col(text_col).isNotNull() & (F.trim(text_col) == ""), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_empty"),
+        F.countDistinct(F.md5(text_col)).cast("long").alias("n_distinct"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.min("nt").cast("long").alias("min_tokens"),
+        F.max("nt").cast("long").alias("max_tokens"),
+        F.expr("percentile(nt, 0.25)").alias("p25_tokens"),
+        F.expr("percentile(nt, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(nt, 0.9)").alias("p90_tokens"),
+    ).select(
+        "*",
+        (
+            F.expr(
+                "(20000 * total_tokens + n_docs - n_null)"
+                " div (2 * (n_docs - n_null))"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_tokens"),
+    )

@@ -560,3 +560,76 @@ def dedup_incremental(
         .cast("long")
         .alias("matched_old_id"),
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance — the Manku et al. 2007
+    (Google web-dedup) pigeonhole scheme: split the fingerprint into
+    ``chunks`` equal bit blocks; two fingerprints within ``max_hamming``
+    bits must agree on at least one whole block whenever
+    ``chunks > max_hamming``, so block-equality joins find EVERY qualifying
+    pair (100% recall by construction, no probabilistic miss), and the
+    exact ``bit_count(xor)`` verify discards the rest.
+
+    Output: (a_id, b_id, hamming), a_id < b_id, hamming ≤ max_hamming.
+
+    Scale: the join keys on (block_idx, block_value) — constant-width rows,
+    corpus text never shuffles (fingerprints are row-local). Block width
+    bits/chunks is the selectivity lever: fewer/wider blocks = fewer
+    accidental collisions but requires a smaller guaranteed distance.
+    """
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"need chunks > max_hamming for guaranteed recall "
+            f"({chunks} <= {max_hamming})"
+        )
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    w = bits // chunks
+    fp = simhash(df, id_col, text_col, bits).withColumnRenamed(id_col, "id")
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("simhash", c * w).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        )
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    cands = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.expr("fa ^ fb")).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

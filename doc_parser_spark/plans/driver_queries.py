@@ -4744,3 +4744,79 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 
 QUERIES["corpus_snapshot_diff"] = q_corpus_snapshot_diff
 ORACLES["corpus_snapshot_diff"] = ORACLE_CORPUS_DIFF
+
+
+# ===========================================================================
+# batch 42 — SimHash Hamming near-dup pairs (Manku et al. 2007 pigeonhole
+# banding: chunks > max_hamming ⇒ 100% recall by construction). The oracle
+# is deliberately BRUTE-FORCE all-pairs — matching it exactly proves the
+# banded path misses nothing.
+# ===========================================================================
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, chunks=4
+    )
+
+
+ORACLE_SIMHASH_HAMMING = f"""
+WITH fp AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         ({simhash_oracle_sql('text', 32)})::BIGINT AS f
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.f, b.f))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+QUERIES["dedup_simhash_hamming"] = q_dedup_simhash_hamming
+ORACLES["dedup_simhash_hamming"] = ORACLE_SIMHASH_HAMMING
+
+
+# ===========================================================================
+# batch 43 — corpus data profile (the pre-curation sanity pass): one
+# aggregate row with exact distribution stats; Spark percentile() and
+# DuckDB quantile_cont share the same linear-interpolation definition
+# ===========================================================================
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import profile_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return profile_corpus(docs, "doc_id", "text")
+
+
+ORACLE_PROFILE = """
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(list_filter(
+                     regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '')) END AS nt
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1
+                ELSE 0 END)::BIGINT AS n_empty,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct,
+       sum(nt)::BIGINT AS total_tokens,
+       min(nt)::BIGINT AS min_tokens,
+       max(nt)::BIGINT AS max_tokens,
+       quantile_cont(nt, 0.25)::DOUBLE AS p25_tokens,
+       quantile_cont(nt, 0.5)::DOUBLE AS p50_tokens,
+       quantile_cont(nt, 0.9)::DOUBLE AS p90_tokens,
+       ((20000 * sum(nt) + count(nt)) // (2 * count(nt))) / 10000.0
+         AS avg_tokens
+FROM base
+"""
+
+QUERIES["corpus_profile"] = q_corpus_profile
+ORACLES["corpus_profile"] = ORACLE_PROFILE

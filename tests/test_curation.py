@@ -629,3 +629,32 @@ class TestCorpusDiff:
         }
         assert out == {1: "unchanged", 2: "changed", 3: "removed",
                        4: "added"}
+
+
+class TestCorpusProfile:
+    def test_values_computed_independently(self, spark):
+        # values asserted against hand arithmetic, NOT the oracle — a
+        # formula bug copied to both engine sides would still hash-match
+        from doc_parser_spark.operators.curation import profile_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "one two three"),          # 3 tokens
+                (2, "four five"),              # 2
+                (3, "six seven eight nine"),   # 4
+                (4, ""),                       # empty → 0 tokens
+                (5, None),                     # null
+                (6, "one two three"),          # exact dup of 1
+            ],
+            "doc_id long, text string",
+        )
+        r = profile_corpus(docs, "doc_id", "text").collect()[0]
+        assert r["n_docs"] == 6
+        assert r["n_null"] == 1
+        assert r["n_empty"] == 1
+        assert r["n_distinct"] == 4  # dup collapses; null excluded by md5
+        assert r["total_tokens"] == 3 + 2 + 4 + 0 + 3
+        assert r["min_tokens"] == 0
+        assert r["max_tokens"] == 4
+        assert r["avg_tokens"] == 2.4  # 12 / 5 non-null
+        assert r["p50_tokens"] == 3.0  # sorted [0,2,3,3,4]

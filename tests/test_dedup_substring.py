@@ -151,3 +151,55 @@ class TestIncrementalDedup:
         assert dedup_incremental(
             empty_new, old, "doc_id", "text"
         ).count() == 0
+
+
+class TestSimhashHamming:
+    def test_recall_equals_brute_force(self, spark):
+        # the pigeonhole guarantee: the banded path must find EXACTLY the
+        # pairs a brute-force all-pairs hamming scan finds
+        from doc_parser_spark.operators.dedup import (
+            simhash,
+            simhash_hamming_pairs,
+        )
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",   # near twin
+            "alpha beta gamma delta epsilon zeta",  # exact twin of 0
+            "totally different words in this one",
+            "more unrelated content over here now",
+        ]
+        docs = _mkdocs(spark, texts)
+        got = {
+            (r["a_id"], r["b_id"]): r["hamming"]
+            for r in simhash_hamming_pairs(
+                docs, "doc_id", "text", bits=32, max_hamming=3, chunks=4
+            ).collect()
+        }
+        fps = {
+            r["id"]: r["simhash"]
+            for r in simhash(docs, "doc_id", "text", bits=32)
+            .withColumnRenamed("doc_id", "id")
+            .collect()
+        }
+        brute = {}
+        for a in fps:
+            for b in fps:
+                if a < b:
+                    h = bin(fps[a] ^ fps[b]).count("1")
+                    if h <= 3:
+                        brute[(a, b)] = h
+        assert got == brute
+        assert got[(0, 2)] == 0  # exact twins at distance 0
+
+    def test_guard_rails(self, spark):
+        from doc_parser_spark.operators.dedup import simhash_hamming_pairs
+
+        docs = _mkdocs(spark, ["a b c"])
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            simhash_hamming_pairs(docs, "doc_id", "text", chunks=3,
+                                  max_hamming=3)
+        with _pt.raises(ValueError):
+            simhash_hamming_pairs(docs, "doc_id", "text", bits=30, chunks=4)
