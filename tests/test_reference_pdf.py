@@ -268,5 +268,15 @@ def test_ltr_chain_merge_properties(cells):
     rtl_in = [c[4] for c in cells if any("֐" <= ch <= "ࣿ" for ch in c[4])]
     rtl_out = [c[4] for c in out if any("֐" <= ch <= "ࣿ" for ch in c[4])]
     assert rtl_in == rtl_out
-    # idempotent: a second pass changes nothing
-    assert _merge_ltr_chains(out) == out
+    # a second pass may only COARSEN (merging grows the chain bbox, which
+    # loosens the h-scaled gap threshold, so strict idempotence does NOT
+    # hold — hypothesis found the counterexample; the pass runs exactly
+    # once in the pipeline, so the guarantees that matter are: never
+    # split, never reorder, never invent/destroy non-space chars
+    out2 = _merge_ltr_chains(out)
+    assert len(out2) <= len(out)
+    assert Counter(join(out2).replace(" ", "")) == Counter(
+        join(out).replace(" ", "")
+    )
+    rtl_out2 = [c[4] for c in out2 if any("֐" <= ch <= "ࣿ" for ch in c[4])]
+    assert rtl_out2 == rtl_out
