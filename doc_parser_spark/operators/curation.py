@@ -554,7 +554,13 @@ def temperature_mixture_sample(
         16,
         10,
     ).cast("long") / F.lit(65536.0)
-    out = df.join(F.broadcast(rates), domain_col)
+    # null-safe join: a NULL domain is a legitimate stratum (groupBy keeps
+    # it) — a plain equi-join would silently DROP those rows, the
+    # row-loss-masked-as-success class this repo keeps hunting
+    out = df.join(
+        F.broadcast(rates.withColumnRenamed(domain_col, "__dom")),
+        F.col(domain_col).eqNullSafe(F.col("__dom")),
+    ).drop("__dom")
     sampled = u < F.col("rate")
     return out.withColumn("sampled", sampled).withColumn(
         "weight",

@@ -51,6 +51,10 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in on]
     if right_ts not in payload_cols:
         raise ValueError("right_ts must not be a join key")
+    # a null timestamp is "no position in time": null-ts RIGHT rows can
+    # never be the as-of match (they'd sort first and leak into every
+    # left row), and null-ts LEFT rows match nothing (below)
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -74,7 +78,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = both.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-    out = matched.where(F.col("__side") == 1)
+    out = matched.where(F.col("__side") == 1).withColumn(
+        "__m",
+        F.when(F.col(left_ts).isNotNull(), F.col("__m")),
+    )
     if tolerance is not None:
         gap = F.abs(
             F.col(left_ts).cast("timestamp").cast("long")

@@ -3965,9 +3965,9 @@ WITH c AS (
   FROM c, m
 ), t AS (
   SELECT d.doc_id::BIGINT AS doc_id, d.lang, r.rate,
-         (('0x' || substring(md5(d.lang || '|' || d.doc_id), 1, 4))::BIGINT
+         (('0x' || substring(md5(concat_ws('|', d.lang, d.doc_id)), 1, 4))::BIGINT
             / 65536.0) < r.rate AS sampled
-  FROM documents d JOIN r USING (lang)
+  FROM documents d JOIN r ON r.lang IS NOT DISTINCT FROM d.lang
 )
 SELECT doc_id, lang, rate, sampled,
        CASE WHEN sampled THEN round(1.0 / rate, 4) ELSE 0.0 END AS weight

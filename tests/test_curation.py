@@ -658,3 +658,23 @@ class TestCorpusProfile:
         assert r["max_tokens"] == 4
         assert r["avg_tokens"] == 2.4  # 12 / 5 non-null
         assert r["p50_tokens"] == 3.0  # sorted [0,2,3,3,4]
+
+
+class TestMixtureNullDomain:
+    def test_null_domain_is_a_stratum_not_row_loss(self, spark):
+        # a NULL domain must come through as its own stratum — the plain
+        # equi-join silently dropped those rows (found by edge sweep)
+        from doc_parser_spark.operators.curation import (
+            temperature_mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(8)] + [(100 + i, None) for i in range(2)],
+            "doc_id long, lang string",
+        )
+        out = temperature_mixture_sample(df, "doc_id", "lang", tau=0.5)
+        assert out.count() == 10
+        nulls = out.where(F.col("lang").isNull()).collect()
+        assert len(nulls) == 2
+        # min-count stratum (the nulls) keeps everything at rate 1.0
+        assert all(r["rate"] == 1.0 and r["sampled"] for r in nulls)

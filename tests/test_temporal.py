@@ -240,3 +240,25 @@ class TestRollingFeatures:
         }
         assert out[1] == 1.0    # the later event must NOT leak backward
         assert out[2] == 101.0
+
+
+class TestAsofNulls:
+    def test_null_timestamps_never_match(self, spark):
+        # found by edge sweep: a null-ts right row sorted first and leaked
+        # into every left row; a null-ts left row picked up whatever the
+        # window had seen. Both must yield NO match instead.
+        left = _ts(spark, [(1, "k", 100), (2, "k", None)],
+                   ["id", "key", "t"]).selectExpr(
+            "id", "key", "cast(t as timestamp) t")
+        right = _ts(spark, [("k", 50, 1.0), ("k", None, 9.0)],
+                    ["key", "rt", "v"]).selectExpr(
+            "key", "cast(rt as timestamp) rt", "v")
+        for d, want1 in (("backward", 1.0), ("forward", None)):
+            out = {
+                r["id"]: r["v_matched"]
+                for r in asof_join(
+                    left, right, ["key"], "t", "rt", direction=d
+                ).collect()
+            }
+            assert out[1] == want1
+            assert out[2] is None
