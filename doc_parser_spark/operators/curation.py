@@ -622,9 +622,13 @@ def lm_bigram_score(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("pos")
+    # the adjacency table feeds BOTH the bigram-count aggregate and the
+    # scoring join; without materialization the lazy DAG re-derives it —
+    # paying the per-doc window (a full-corpus shuffle) twice (the
+    # rollup_timeseries lesson, verified in the physical plan)
     big = mapped.withColumn("prev", F.lag("m").over(w)).where(
         F.col("prev").isNotNull()
-    )
+    ).persist()
     cb = big.groupBy("prev", "m").agg(F.count("*").alias("c2"))
     cp = cb.groupBy("prev").agg(F.sum("c2").alias("cprev"))
     scored = (

@@ -81,7 +81,9 @@ def bm25_topk(
     tiebreak, so the cutoff is engine-identical; the reported score
     rounds to 4 dp.
     """
-    dt = _doc_terms(df, id_col, text_col)
+    # (id, term, tf, dl) feeds both the document-frequency aggregate and
+    # the query-term scoring scan — materialize once (rollup lesson)
+    dt = _doc_terms(df, id_col, text_col).persist()
     # avgdl from an EXACT integer sum (engine-portable), not a float avg
     stats = df.select(
         F.count("*").cast("double").alias("n_docs"),
