@@ -808,3 +808,64 @@ def profile_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("avg_tokens"),
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic 3-way split: ``split`` ∈ train/val/test from the
+    md5 16-bit fraction of (salt | id) against cumulative ``fractions``
+    (train, val) — test gets the rest. Pure row function: stable across
+    reruns/engines/partitionings, and changing ``salt`` resamples the
+    assignment without touching data. Row-local, zero shuffle.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(65536.0)
+    t, v = fractions
+    return df.withColumn(
+        "split",
+        F.when(u < t, "train").when(u < t + v, "val").otherwise("test"),
+    )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Curriculum sharding: bucket documents into ``k`` difficulty tiers
+    by score — shard 1 = easiest. Implemented the SCALE-correct way: the
+    k−1 interior percentile boundaries are ONE small aggregate (broadcast
+    back); assignment is the row-local count of boundaries below the
+    score. A global ntile would be the naive alternative — an all-data
+    single-partition sort window, exactly the plan that dies at 100 TB.
+    Boundary ties all land in the lower shard (value-based split, so
+    shard sizes can be uneven under heavy ties — documented semantics).
+    """
+    bounds = df.agg(
+        *[
+            F.expr(f"percentile({score_col}, {j / k})").alias(f"__q{j}")
+            for j in range(1, k)
+        ]
+    )
+    shard = F.lit(1)
+    for j in range(1, k):
+        shard = shard + F.when(
+            F.col(score_col) > F.col(f"__q{j}"), 1
+        ).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("shard", shard.cast("int"))
+        .drop(*[f"__q{j}" for j in range(1, k)])
+    )

@@ -4820,3 +4820,65 @@ FROM base
 
 QUERIES["corpus_profile"] = q_corpus_profile
 ORACLES["corpus_profile"] = ORACLE_PROFILE
+
+
+# ===========================================================================
+# batch 44 — training-set mechanics: deterministic 3-way split and
+# curriculum sharding by LM difficulty (broadcast percentile boundaries +
+# row-local assignment — never a global-sort ntile)
+# ===========================================================================
+def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import train_val_test_split
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return train_val_test_split(docs, "doc_id")
+
+
+ORACLE_SPLIT = """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substring(md5('split|' || doc_id), 1, 4))::BIGINT
+           / 65536.0 AS u
+  FROM documents
+)
+"""
+
+
+def q_curate_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import (
+        curriculum_shards,
+        lm_quality_score,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = lm_quality_score(docs, "doc_id", "text", vocab_size=512)
+    return curriculum_shards(scored, "doc_id", "nll", k=4).select(
+        "doc_id", "nll", "shard"
+    )
+
+
+ORACLE_CURRICULUM = f"""
+WITH scored AS ({ORACLE_QUALITY_LM_NLL}),
+b AS (
+  SELECT quantile_cont(nll, 0.25) AS q1,
+         quantile_cont(nll, 0.5) AS q2,
+         quantile_cont(nll, 0.75) AS q3
+  FROM scored
+)
+SELECT s.doc_id, s.nll,
+       (1 + (s.nll > b.q1)::INT + (s.nll > b.q2)::INT
+          + (s.nll > b.q3)::INT)::INT AS shard
+FROM scored s, b
+"""
+
+QUERIES["curate_split"] = q_curate_split
+ORACLES["curate_split"] = ORACLE_SPLIT
+QUERIES["curate_curriculum"] = q_curate_curriculum
+ORACLES["curate_curriculum"] = ORACLE_CURRICULUM

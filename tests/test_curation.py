@@ -678,3 +678,58 @@ class TestMixtureNullDomain:
         assert len(nulls) == 2
         # min-count stratum (the nulls) keeps everything at rate 1.0
         assert all(r["rate"] == 1.0 and r["sampled"] for r in nulls)
+
+
+class TestSplitAndCurriculum:
+    def test_split_fractions_and_determinism(self, spark):
+        from doc_parser_spark.operators.curation import train_val_test_split
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        out = train_val_test_split(df, "doc_id").groupBy("split").count()
+        counts = {r["split"]: r["count"] for r in out.collect()}
+        assert 0.75 < counts["train"] / 2000 < 0.85
+        assert 0.07 < counts["val"] / 2000 < 0.13
+        assert 0.07 < counts["test"] / 2000 < 0.13
+        # re-run identical; different salt reshuffles
+        a = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(df, "doc_id").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(df, "doc_id").collect()}
+        c = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(df, "doc_id", salt="v2").collect()}
+        assert a == b
+        assert a != c
+
+    def test_curriculum_monotone_in_score(self, spark):
+        from doc_parser_spark.operators.curation import curriculum_shards
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], ["doc_id", "s"]
+        )
+        out = {r["doc_id"]: r["shard"]
+               for r in curriculum_shards(df, "doc_id", "s", k=4).collect()}
+        # shards are monotone in score and quartile-sized on distinct values
+        assert [out[i] for i in (0, 30, 60, 90)] == [1, 2, 3, 4]
+        prev = 0
+        for i in range(100):
+            assert out[i] >= prev
+            prev = out[i]
+
+    def test_curriculum_no_global_sort(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from doc_parser_spark.operators.curation import curriculum_shards
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(50)], ["doc_id", "s"]
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            curriculum_shards(df, "doc_id", "s", k=4).explain("formatted")
+        plan = buf.getvalue()
+        # the naive ntile plan would show a Window over an empty
+        # partitioning (global sort); this one must not use Window at all
+        assert "Window" not in plan
