@@ -4882,3 +4882,94 @@ QUERIES["curate_split"] = q_curate_split
 ORACLES["curate_split"] = ORACLE_SPLIT
 QUERIES["curate_curriculum"] = q_curate_curriculum
 ORACLES["curate_curriculum"] = ORACLE_CURRICULUM
+
+
+# ===========================================================================
+# batch 45 — curation assembly v2: the continuation layers composed as ONE
+# lineage query — substring-contamination gate → temperature mixture →
+# deterministic train split → sequence packing; composite oracle rebuilt
+# from the per-stage oracles
+# ===========================================================================
+def q_curate_assemble_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import (
+        pack_segments,
+        temperature_mixture_sample,
+        train_val_test_split,
+    )
+    from doc_parser_spark.operators.dedup import duplicated_token_fraction
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    frac = duplicated_token_fraction(
+        docs, "doc_id", "text", k=_SUBSTR_K, min_count=2
+    ).select("doc_id", "dup_fraction")
+    kept = docs.join(frac, "doc_id").where(F.col("dup_fraction") <= 0.3)
+    mixed = temperature_mixture_sample(
+        kept, "doc_id", "lang", tau=_MIX_TAU
+    ).where(F.col("sampled"))
+    train = train_val_test_split(mixed, "doc_id").where(
+        F.col("split") == "train"
+    )
+    packed = pack_segments(
+        train, "doc_id", "text", budget=PACK_BUDGET, n_shards=PACK_SHARDS
+    )
+    return packed.join(
+        train.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "seq_id", "tok_start", "tok_end",
+             "offset_in_seq")
+
+
+ORACLE_ASSEMBLE_V2 = f"""
+WITH frac AS ({ORACLE_SUBSTR_FRACTION}),
+kept AS (
+  SELECT d.doc_id::BIGINT AS doc_id, d.lang, d.text
+  FROM documents d JOIN frac f ON f.doc_id = d.doc_id
+  WHERE f.dup_fraction <= 0.3
+),
+c AS (SELECT lang, count(*) AS n_d FROM kept GROUP BY lang),
+m AS (SELECT min(n_d) AS n_min FROM c),
+r AS (
+  SELECT lang, round(pow(m.n_min * 1.0 / c.n_d, {1.0 - _MIX_TAU}), 6)
+           AS rate
+  FROM c, m
+),
+mixed AS (
+  SELECT k.doc_id, k.lang, k.text
+  FROM kept k JOIN r ON r.lang IS NOT DISTINCT FROM k.lang
+  WHERE (('0x' || substring(md5(concat_ws('|', k.lang, k.doc_id)), 1, 4))
+           ::BIGINT / 65536.0) < r.rate
+),
+tr AS (
+  SELECT doc_id, lang, text FROM mixed
+  WHERE ('0x' || substring(md5('split|' || doc_id), 1, 4))::BIGINT
+          / 65536.0 < 0.8
+),
+toks AS (
+  SELECT doc_id, lang, (doc_id % {PACK_SHARDS})::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS tokens
+  FROM tr
+),
+spans AS (
+  SELECT doc_id, lang, shard, tokens,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, lang, shard, cum - tokens AS st, cum,
+         unnest(range(((cum - tokens) // {PACK_BUDGET})::BIGINT,
+                      ((cum - 1) // {PACK_BUDGET} + 1)::BIGINT)) AS s
+  FROM spans
+)
+SELECT doc_id, lang,
+       (shard::BIGINT * 4294967296 + s)::BIGINT AS seq_id,
+       (greatest(st, s * {PACK_BUDGET}) - st)::INT AS tok_start,
+       (least(cum, (s + 1) * {PACK_BUDGET}) - st)::INT AS tok_end,
+       (greatest(st, s * {PACK_BUDGET}) - s * {PACK_BUDGET})::INT
+         AS offset_in_seq
+FROM seg
+"""
+
+QUERIES["curate_assemble_v2"] = q_curate_assemble_v2
+ORACLES["curate_assemble_v2"] = ORACLE_ASSEMBLE_V2
