@@ -263,3 +263,65 @@ def rolling_features(
         )
         .drop("__sum_dec")
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: per user, the FIRST time each step completes given
+    every earlier step already completed at an earlier-or-equal time
+    (signup → click → purchase). Emits one row per user with the epoch
+    second of each completed step (null once the chain breaks) and
+    ``reached`` = number of completed steps.
+
+    Scale: ONE shuffle (the per-user aggregate); the step chain folds
+    row-locally over the user's time-sorted events with an ``aggregate``
+    HOF — the naive alternative is k sequential self-joins, each a full
+    shuffle. Per-user state is k timestamps; events per user bound the
+    fold cost, not corpus size.
+    """
+    k = len(steps)
+    # same-timestamp events must fold in FUNNEL order (signup before click
+    # at an equal ts), so the sort key is (t, step index) — otherwise the
+    # chain's >= semantics would depend on event-name alphabetics at ties
+    idx = F.lit(k)
+    for i, step in enumerate(steps):
+        idx = F.when(F.col(type_col) == step, i).otherwise(idx)
+    ev = df.select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).cast("timestamp").cast("long").alias("t"),
+            idx.cast("int").alias("i"),
+            F.col(type_col).alias("y"),
+        ).alias("e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    )
+    acc0 = "named_struct(" + ", ".join(
+        f"'s{i}', CAST(NULL AS BIGINT)" for i in range(k)
+    ) + ")"
+    set_fields = []
+    for i, step in enumerate(steps):
+        prev_ok = "true" if i == 0 else f"acc.s{i - 1} IS NOT NULL"
+        set_fields.append(
+            f"'s{i}', CASE WHEN acc.s{i} IS NULL AND e.y = '{step}' "
+            f"AND {prev_ok} THEN e.t ELSE acc.s{i} END"
+        )
+    fold = (
+        f"aggregate(evs, {acc0}, "
+        f"(acc, e) -> named_struct({', '.join(set_fields)}))"
+    )
+    out = per_user.withColumn("__f", F.expr(fold))
+    cols = [F.col(user_col)]
+    reached = F.lit(0)
+    for i, step in enumerate(steps):
+        cols.append(F.col(f"__f.s{i}").alias(f"t_{step}"))
+        reached = reached + F.when(
+            F.col(f"__f.s{i}").isNotNull(), 1
+        ).otherwise(0)
+    return out.select(*cols, reached.cast("int").alias("reached"))

@@ -4973,3 +4973,85 @@ FROM seg
 
 QUERIES["curate_assemble_v2"] = q_curate_assemble_v2
 ORACLES["curate_assemble_v2"] = ORACLE_ASSEMBLE_V2
+
+
+# ===========================================================================
+# batch 46 — product analytics staples: ordered funnel (single-shuffle
+# per-user fold, vs k self-joins) and weekly cohort retention
+# ===========================================================================
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import funnel
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "event_type"
+    )
+    return funnel(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id, floor(epoch(ts))::BIGINT AS t,
+         event_type AS y
+  FROM events
+),
+s0 AS (SELECT user_id, min(t) AS t0 FROM e WHERE y = 'signup'
+       GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.t) AS t1 FROM e JOIN s0 USING (user_id)
+       WHERE e.y = 'click' AND e.t >= s0.t0 GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.y = 'purchase' AND e.t >= s1.t1 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, s0.t0 AS t_signup, s1.t1 AS t_click,
+       s2.t2 AS t_purchase,
+       ((s0.t0 IS NOT NULL)::INT + (s1.t1 IS NOT NULL)::INT
+          + (s2.t2 IS NOT NULL)::INT)::INT AS reached
+FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"), "ts", "event_type"
+    )
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(first_signup, "user_id")
+        .where(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH fs AS (
+  SELECT user_id::BIGINT AS user_id,
+         date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id::BIGINT AS user_id,
+         date_trunc('week', ts) AS activity_week
+  FROM events
+)
+SELECT f.cohort_week, a.activity_week,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM act a JOIN fs f USING (user_id)
+WHERE a.activity_week >= f.cohort_week
+GROUP BY 1, 2
+"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = ORACLE_FUNNEL
+QUERIES["events_retention_cohorts"] = q_events_retention_cohorts
+ORACLES["events_retention_cohorts"] = ORACLE_RETENTION

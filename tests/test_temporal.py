@@ -262,3 +262,48 @@ class TestAsofNulls:
             }
             assert out[1] == want1
             assert out[2] is None
+
+
+class TestFunnel:
+    def _ev(self, spark):
+        rows = [
+            ("u1", 10, "signup"), ("u1", 20, "click"), ("u1", 30, "purchase"),
+            ("u2", 10, "signup"), ("u2", 30, "click"), ("u2", 20, "purchase"),
+            ("u2", 40, "purchase"),
+            ("u3", 5, "signup"), ("u3", 4, "click"),
+            ("u4", 7, "click"), ("u4", 7, "signup"), ("u4", 7, "purchase"),
+        ]
+        return spark.createDataFrame(rows, ["u", "t", "y"]).selectExpr(
+            "u", "cast(t as timestamp) t", "y"
+        )
+
+    def test_ordered_chain_semantics(self, spark):
+        from doc_parser_spark.operators.temporal import funnel
+
+        out = {
+            r["u"]: (r["t_signup"], r["t_click"], r["t_purchase"],
+                     r["reached"])
+            for r in funnel(
+                self._ev(spark), "u", "t", "y",
+                ["signup", "click", "purchase"],
+            ).collect()
+        }
+        assert out["u1"] == (10, 20, 30, 3)
+        # purchase BEFORE the click doesn't count; the later one does
+        assert out["u2"] == (10, 30, 40, 3)
+        # click before signup never counts
+        assert out["u3"] == (5, None, None, 1)
+        # all three at the SAME timestamp complete the chain (>= semantics,
+        # enforced by the (t, step-index) fold order at ties)
+        assert out["u4"] == (7, 7, 7, 3)
+
+    def test_single_exchange(self, spark):
+        from doc_parser_spark.operators.temporal import funnel
+
+        plan = _plan(
+            funnel(self._ev(spark), "u", "t", "y",
+                   ["signup", "click", "purchase"])
+        )
+        # one per-user aggregate; never the k-self-join shape
+        assert plan.count("Arguments: hashpartitioning") == 1
+        assert "Join" not in plan
