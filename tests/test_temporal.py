@@ -307,3 +307,88 @@ class TestFunnel:
         # one per-user aggregate; never the k-self-join shape
         assert plan.count("Arguments: hashpartitioning") == 1
         assert "Join" not in plan
+
+
+class TestDifferentialFuzz:
+    """Differential testing against independent reference implementations:
+    asof_join vs pandas.merge_asof (the semantics it claims), range_join
+    vs a brute-force nested loop. Random timelines, fixed seeds."""
+
+    def test_asof_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        for trial in range(4):
+            nl, nr = int(rng.integers(5, 40)), int(rng.integers(0, 30))
+            keys = ["a", "b", "c"]
+            lpdf = pd.DataFrame({
+                "id": range(nl),
+                "key": rng.choice(keys, nl),
+                "t": rng.integers(0, 500, nl),
+            })
+            rpdf = pd.DataFrame({
+                "key": rng.choice(keys, nr),
+                "rt": rng.integers(0, 500, nr),
+                "v": rng.integers(0, 1000, nr).astype(float),
+            })
+            left = spark.createDataFrame(lpdf).selectExpr(
+                "id", "key", "cast(t as timestamp) t")
+            right = spark.createDataFrame(rpdf).selectExpr(
+                "key", "cast(rt as timestamp) rt", "v"
+            ) if nr else spark.createDataFrame(
+                [], "key string, rt timestamp, v double")
+            for direction in ("backward", "forward"):
+                got = {
+                    r["id"]: r["v_matched"]
+                    for r in asof_join(
+                        left, right, ["key"], "t", "rt",
+                        direction=direction,
+                    ).collect()
+                }
+                lp = lpdf.assign(t=pd.to_datetime(lpdf.t, unit="s")) \
+                         .sort_values("t")
+                rp = rpdf.assign(rt=pd.to_datetime(rpdf.rt, unit="s")) \
+                         .sort_values("rt")
+                if len(rp):
+                    exp_df = pd.merge_asof(
+                        lp, rp, left_on="t", right_on="rt", by="key",
+                        direction=direction,
+                    )
+                    exp = dict(zip(exp_df["id"],
+                                   [None if pd.isna(v) else v
+                                    for v in exp_df["v"]]))
+                else:
+                    exp = {i: None for i in lpdf["id"]}
+                assert got == exp, (trial, direction)
+
+    def test_range_join_matches_brute_force(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            npts, nint = int(rng.integers(5, 50)), int(rng.integers(1, 30))
+            keys = ["k1", "k2"]
+            pts = [(i, str(rng.choice(keys)), int(rng.integers(0, 1000)))
+                   for i in range(npts)]
+            ivs = []
+            for i in range(nint):
+                s = int(rng.integers(0, 1000))
+                ivs.append((100 + i, str(rng.choice(keys)), s,
+                            s + int(rng.integers(0, 400))))
+            points = spark.createDataFrame(pts, ["pid", "key", "p"])
+            intervals = spark.createDataFrame(ivs, ["iid", "key", "s", "e"])
+            bw = int(rng.choice([7, 64, 500]))
+            got = {
+                (r["pid"], r["iid"])
+                for r in range_join(
+                    points, intervals, ["key"], "p", "s", "e", bw
+                ).collect()
+            }
+            brute = {
+                (pid, iid)
+                for pid, pk, p in pts
+                for iid, ik, s, e in ivs
+                if pk == ik and s <= p < e
+            }
+            assert got == brute, (trial, bw)
