@@ -5055,3 +5055,79 @@ QUERIES["events_funnel"] = q_events_funnel
 ORACLES["events_funnel"] = ORACLE_FUNNEL
 QUERIES["events_retention_cohorts"] = q_events_retention_cohorts
 ORACLES["events_retention_cohorts"] = ORACLE_RETENTION
+
+
+# ===========================================================================
+# batch 47 — graph kernels over the near-dup edge set (operators/graph.py):
+# oriented-wedge triangle counting and fixed-iteration PageRank, both as
+# pure joins/aggregates with exact oracles over the LSH pair graph
+# ===========================================================================
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    return lsh_candidate_pairs(corpus, "doc_id", "payload", threshold=0.2)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.graph import triangle_count
+
+    return triangle_count(_neardup_edges(spark, sf_dir))
+
+
+ORACLE_TRIANGLES = f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH}),
+e AS (
+  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+  FROM pairs WHERE a_id <> b_id
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.graph import pagerank
+
+    return pagerank(_neardup_edges(spark, sf_dir), iters=3).select(
+        F.col("id").cast("long").alias("id"), "rank"
+    )
+
+
+def _pr_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nodes.id,
+         (0.15 / n.n + 0.85 * coalesce(s.in_sum, 0.0)) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT sym.dst AS id2, sum({prev}.rank / deg.deg) AS in_sum
+    FROM {prev}
+    JOIN sym ON sym.src = {prev}.id
+    JOIN deg ON deg.src = {prev}.id
+    GROUP BY sym.dst
+  ) s ON s.id2 = nodes.id, n
+)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH}),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+r0 AS (SELECT id, 1.0 / n.n AS rank FROM nodes, n),
+{_pr_round_sql('r0', 'r1')},
+{_pr_round_sql('r1', 'r2')},
+{_pr_round_sql('r2', 'r3')}
+SELECT id::BIGINT AS id, round(rank, 8) AS rank FROM r3
+"""
+
+QUERIES["graph_triangles"] = q_graph_triangles
+ORACLES["graph_triangles"] = ORACLE_TRIANGLES
+QUERIES["graph_pagerank"] = q_graph_pagerank
+ORACLES["graph_pagerank"] = ORACLE_PAGERANK
