@@ -869,3 +869,56 @@ def curriculum_shards(
         .withColumn("shard", shard.cast("int"))
         .drop(*[f"__q{j}" for j in range(1, k)])
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws an exponential race key ``-ln(u) / w`` from the
+    deterministic md5 uniform ``u`` and the k SMALLEST keys win —
+    provably equivalent to sequential weighted draws without replacement,
+    in one distributed pass. Deterministic (no RNG state; change ``salt``
+    to redraw), engine-portable (identical doubles → identical ranking,
+    id tiebreak).
+
+    Scale: the keys are row-local; selection is a distributed partial
+    top-k (TakeOrdered — per-partition heaps, no global sort). Rows with
+    weight <= 0 never win (key = +inf).
+
+    Returns the k winners: (id, weight, es_key rounded 8 dp).
+    """
+    # 8 hex chars → u in (0, 1]: (x + 1) / 2^32 avoids ln(0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.when(
+        F.col(weight_col) > 0, -F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("inf")))
+    return (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k").asc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            F.round("__k", 8).alias("es_key"),
+        )
+    )

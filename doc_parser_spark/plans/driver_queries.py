@@ -5131,3 +5131,37 @@ QUERIES["graph_triangles"] = q_graph_triangles
 ORACLES["graph_triangles"] = ORACLE_TRIANGLES
 QUERIES["graph_pagerank"] = q_graph_pagerank
 ORACLES["graph_pagerank"] = ORACLE_PAGERANK
+
+
+# ===========================================================================
+# batch 48 — weighted sampling without replacement (Efraimidis-Spirakis
+# exponential race, deterministic md5 uniforms, distributed partial top-k)
+# ===========================================================================
+_ES_K = 50
+
+
+def q_curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import weighted_sample_k
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("tokens"),
+    )
+    return weighted_sample_k(docs, "doc_id", "tokens", k=_ES_K)
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(string_split(text, ' '))::DOUBLE AS tokens,
+         -ln((('0x' || substring(md5('es|' || doc_id), 1, 8))::BIGINT + 1.0)
+             / 4294967296.0)
+           / len(string_split(text, ' ')) AS k
+  FROM documents
+)
+SELECT doc_id, tokens AS weight, round(k, 8) AS es_key
+FROM t ORDER BY k, doc_id LIMIT {_ES_K}
+"""
+
+QUERIES["curate_weighted_sample"] = q_curate_weighted_sample
+ORACLES["curate_weighted_sample"] = ORACLE_WEIGHTED_SAMPLE

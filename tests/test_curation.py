@@ -733,3 +733,44 @@ class TestSplitAndCurriculum:
         # the naive ntile plan would show a Window over an empty
         # partitioning (global sort); this one must not use Window at all
         assert "Window" not in plan
+
+
+class TestWeightedSample:
+    def test_statistical_proportionality(self, spark):
+        # over many salts, a weight-10 item should win ~10x as often as a
+        # weight-1 item in 1-of-n draws (A-ES correctness, coarse bound)
+        from doc_parser_spark.operators.curation import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(0, 10.0)] + [(i, 1.0) for i in range(1, 11)],
+            ["doc_id", "w"],
+        )
+        wins = 0
+        trials = 60
+        for s in range(trials):
+            top = weighted_sample_k(
+                df, "doc_id", "w", k=1, salt=f"t{s}"
+            ).collect()[0]["doc_id"]
+            wins += top == 0
+        # P(win) = 10/20 = 0.5; 60 trials → expect ~30, allow wide band
+        assert 18 <= wins <= 42
+
+    def test_without_replacement_and_deterministic(self, spark):
+        from doc_parser_spark.operators.curation import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(100)], ["doc_id", "w"]
+        )
+        a = [r["doc_id"] for r in
+             weighted_sample_k(df, "doc_id", "w", k=20).collect()]
+        b = [r["doc_id"] for r in
+             weighted_sample_k(df, "doc_id", "w", k=20).collect()]
+        assert a == b              # deterministic
+        assert len(set(a)) == 20   # without replacement
+        # zero/negative weights never win
+        df2 = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 1e-9)], ["doc_id", "w"]
+        )
+        got = [r["doc_id"] for r in
+               weighted_sample_k(df2, "doc_id", "w", k=2).collect()]
+        assert got[0] == 3
