@@ -325,3 +325,74 @@ def funnel(
             F.col(f"__f.s{i}").isNotNull(), 1
         ).otherwise(0)
     return out.select(*cols, reached.cast("int").alias("reached"))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regularize an irregular series: per key, one row per ``step_seconds``
+    bucket spanning that key's [min, max] time range, carrying the LAST
+    observed value at-or-before the bucket (forward fill; buckets with an
+    observation use its latest value). The standard gap-filling step
+    before any fixed-step model/feature consumes event data.
+
+    Scale: the bucket scaffold explodes row-locally from each key's
+    1-row (min, max) aggregate — a key emits range/step rows, bounded by
+    its own span, never corpus size; the fill is the asof union-tag
+    pattern (one shuffle on the key, ``last(ignorenulls)`` over the
+    time-sorted union of scaffold + observations).
+
+    ``tiebreak_col``: deterministic order among observations sharing the
+    same epoch second for a key (required for engine-exact fills when the
+    data can collide at second resolution — it does at sf0.1).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    tb = (
+        F.col(tiebreak_col).cast("long")
+        if tiebreak_col
+        else F.lit(0).cast("long")
+    )
+    obs = df.select(
+        *key_cols,
+        (sec - (sec % step_seconds)).alias("bucket"),
+        sec.alias("__t"),
+        tb.alias("__tb"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__side"),
+    )
+    span = obs.groupBy(*key_cols).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    scaffold = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(step_seconds))
+        ).alias("bucket"),
+    ).select(
+        *key_cols,
+        "bucket",
+        # the scaffold row sits at the END of its bucket so every
+        # observation inside the bucket precedes it in the sort
+        (F.col("bucket") + step_seconds - 1).alias("__t"),
+        F.lit(9223372036854775807).alias("__tb"),
+        F.lit(None).cast(dict(obs.dtypes)["__v"]).alias("__v"),
+        F.lit(1).alias("__side"),
+    )
+    both = obs.unionByName(scaffold)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__t").asc(), F.col("__tb").asc(),
+                 F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.withColumn("__f", F.last("__v", ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 1).select(
+        *key_cols,
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("__f").alias("value_ffill"),
+    )

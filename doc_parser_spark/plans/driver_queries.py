@@ -5165,3 +5165,75 @@ FROM t ORDER BY k, doc_id LIMIT {_ES_K}
 
 QUERIES["curate_weighted_sample"] = q_curate_weighted_sample
 ORACLES["curate_weighted_sample"] = ORACLE_WEIGHTED_SAMPLE
+
+
+# ===========================================================================
+# batch 49 — resample + forward fill (gap filling to a fixed step): the
+# scaffold explodes row-locally per key span; the fill is the asof
+# union-tag window; event_id breaks epoch-second ties (they exist at
+# sf0.1 — without the tiebreak the fill is engine-nondeterministic)
+# ===========================================================================
+_RESAMPLE_STEP = 21600  # 6-hour buckets
+
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import resample_ffill
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "value",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    out = resample_ffill(
+        ev, ["user_id"], "ts", "value", _RESAMPLE_STEP,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "bucket", F.round("value_ffill", 4).alias("value_ffill")
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id,
+         floor(epoch(ts))::BIGINT AS t,
+         event_id::BIGINT AS eid,
+         value
+  FROM events
+),
+obs AS (
+  SELECT user_id, t - (t % {_RESAMPLE_STEP}) AS bucket, t, eid, value,
+         0 AS side
+  FROM e
+),
+span AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+  FROM obs GROUP BY user_id
+),
+scaffold AS (
+  SELECT user_id, unnest(range(lo, hi + 1, {_RESAMPLE_STEP})) AS bucket,
+         NULL::BIGINT AS t, NULL::BIGINT AS eid,
+         NULL::DOUBLE AS value, 1 AS side
+  FROM span
+),
+u AS (
+  SELECT user_id, bucket,
+         coalesce(t, bucket + {_RESAMPLE_STEP} - 1) AS t,
+         coalesce(eid, 9223372036854775807) AS eid,
+         value, side
+  FROM (SELECT * FROM obs UNION ALL SELECT * FROM scaffold)
+),
+filled AS (
+  SELECT user_id, bucket, side,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, eid, side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM u
+)
+SELECT user_id, bucket, round(f, 4) AS value_ffill
+FROM filled WHERE side = 1
+"""
+
+QUERIES["events_resample_ffill"] = q_events_resample_ffill
+ORACLES["events_resample_ffill"] = ORACLE_RESAMPLE

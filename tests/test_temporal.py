@@ -392,3 +392,36 @@ class TestDifferentialFuzz:
                 if pk == ik and s <= p < e
             }
             assert got == brute, (trial, bw)
+
+
+class TestResampleFfill:
+    def test_gap_filling_semantics(self, spark):
+        from doc_parser_spark.operators.temporal import resample_ffill
+
+        rows = [("k", 103, 1.0), ("k", 131, 2.0), ("k", 175, 3.0),
+                ("q", 50, 9.0)]
+        df = spark.createDataFrame(rows, ["key", "t", "v"]).selectExpr(
+            "key", "cast(t as timestamp) t", "v")
+        out = sorted(
+            (r["key"], r["bucket"], r["value_ffill"])
+            for r in resample_ffill(df, ["key"], "t", "v", 10).collect()
+        )
+        assert out == [
+            ("k", 100, 1.0), ("k", 110, 1.0), ("k", 120, 1.0),
+            ("k", 130, 2.0), ("k", 140, 2.0), ("k", 150, 2.0),
+            ("k", 160, 2.0), ("k", 170, 3.0),
+            ("q", 50, 9.0),  # single-bucket key: its own value
+        ]
+
+    def test_tiebreak_decides_same_second(self, spark):
+        from doc_parser_spark.operators.temporal import resample_ffill
+
+        rows = [("k", 100, 5, 1.0), ("k", 100, 9, 2.0)]
+        df = spark.createDataFrame(
+            rows, ["key", "t", "eid", "v"]
+        ).selectExpr("key", "cast(t as timestamp) t", "eid", "v")
+        out = resample_ffill(
+            df, ["key"], "t", "v", 10, tiebreak_col="eid"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["value_ffill"] == 2.0  # highest eid wins the second
