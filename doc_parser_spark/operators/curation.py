@@ -922,3 +922,102 @@ def weighted_sample_k(
             F.round("__k", 8).alias("es_key"),
         )
     )
+
+
+SCRIPT_CLASSES = [
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("cjk", "\\u4E00-\\u9FFF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("hangul", "\\uAC00-\\uD7AF"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script — the cheap
+    multilingual routing signal (which docs are CJK? mixed-script spam?)
+    computed as pure length arithmetic over regexp_replace, no UDF.
+    Counts: latin/digit/cyrillic/cjk/arabic/hangul + ``other`` (every
+    non-space char outside the listed ranges). ``dominant`` = argmax with
+    the class-list order as the deterministic tiebreak. Row-local."""
+    n = F.length(F.col(text_col))
+    spaces = n - F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    counts = {}
+    for name, rng in SCRIPT_CLASSES:
+        counts[name] = n - F.length(
+            F.regexp_replace(F.col(text_col), f"[{rng}]", "")
+        )
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    out = df.select(
+        F.col(id_col),
+        *[c.cast("int").alias(name) for name, c in
+          ((k, v) for k, v in counts.items())],
+        (n - known - spaces).cast("int").alias("other"),
+    )
+    dom = F.lit("other")
+    best = F.col("other")
+    # reversed so earlier classes win ties (>= when scanning backward)
+    for name, _ in reversed(SCRIPT_CLASSES):
+        take = F.col(name) >= best
+        dom = F.when(take, name).otherwise(dom)
+        best = F.when(take, F.col(name)).otherwise(best)
+    return out.withColumn("dominant", dom)
+
+
+def vocab_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    alpha: float = 0.5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distribution-shift detector between two corpus snapshots: the
+    smoothed log-odds ratio of each term's rate (Monroe et al.'s
+    "Fightin' Words" family) — the monitoring primitive that catches a
+    changed scrape/filter before it poisons training. Top ``k`` movers by
+    |log-odds|, deterministic (exact counts, unrounded ranking, term
+    tiebreak). Terms below ``min_count`` total occurrences are ignored.
+    """
+
+    def tok(d):
+        return d.select(
+            F.explode(
+                F.expr(
+                    f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                    "w -> w != '')"
+                )
+            ).alias("term")
+        )
+
+    co = tok(old_df).groupBy("term").agg(F.count("*").alias("c_old"))
+    cn = tok(new_df).groupBy("term").agg(F.count("*").alias("c_new"))
+    totals_o = co.agg(F.sum("c_old").cast("double").alias("n_old"))
+    totals_n = cn.agg(F.sum("c_new").cast("double").alias("n_new"))
+    joined = (
+        co.join(cn, "term", "full_outer")
+        .na.fill({"c_old": 0, "c_new": 0})
+        .where(F.col("c_old") + F.col("c_new") >= min_count)
+        .crossJoin(F.broadcast(totals_o))
+        .crossJoin(F.broadcast(totals_n))
+    )
+    lo = (
+        F.log((F.col("c_new") + alpha)
+              / (F.col("n_new") - F.col("c_new") + alpha))
+        - F.log((F.col("c_old") + alpha)
+                / (F.col("n_old") - F.col("c_old") + alpha))
+    )
+    return (
+        joined.withColumn("__lo", lo)
+        .orderBy(F.abs(F.col("__lo")).desc(), "term")
+        .limit(k)
+        .select(
+            "term",
+            F.col("c_old").cast("long").alias("c_old"),
+            F.col("c_new").cast("long").alias("c_new"),
+            F.round("__lo", 6).alias("log_odds"),
+        )
+    )

@@ -5237,3 +5237,86 @@ FROM filled WHERE side = 1
 
 QUERIES["events_resample_ffill"] = q_events_resample_ffill
 ORACLES["events_resample_ffill"] = ORACLE_RESAMPLE
+
+
+# ===========================================================================
+# batch 50 — unicode script profile (multilingual routing signal; pure
+# length arithmetic over regexp_replace on both engines) and vocabulary
+# drift between snapshots (Monroe-style smoothed log-odds movers)
+# ===========================================================================
+_SCRIPT_SFX = {0: ' привет', 1: ' 你好世界', 2: ' مرحبا', 3: ' 안녕하세요'}
+
+
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import script_profile
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.element_at(
+                F.array(*[F.lit(_SCRIPT_SFX[i]) for i in range(4)]),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return script_profile(docs, "doc_id", "text")
+
+
+ORACLE_SCRIPT_PROFILE = "\nWITH t AS (\n  SELECT doc_id::BIGINT AS doc_id, CASE doc_id % 4 WHEN 0 THEN text || ' привет' WHEN 1 THEN text || ' 你好世界' WHEN 2 THEN text || ' مرحبا' WHEN 3 THEN text || ' 안녕하세요' END AS t\n  FROM documents\n),\nc AS (\n  SELECT doc_id,\n       (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))::INT AS latin,\n       (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::INT AS digit,\n       (length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')))::INT AS cyrillic,\n       (length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')))::INT AS cjk,\n       (length(t) - length(regexp_replace(t, '[\u0600-ۿ]', '', 'g')))::INT AS arabic,\n       (length(t) - length(regexp_replace(t, '[가-\ud7af]', '', 'g')))::INT AS hangul,\n       (length(t)\n          - ((length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))) + (length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))) + (length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))) + (length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))) + (length(t) - length(regexp_replace(t, '[\u0600-ۿ]', '', 'g'))) + (length(t) - length(regexp_replace(t, '[가-\ud7af]', '', 'g'))))\n          - (length(t) - length(regexp_replace(t, '[\\s]', '', 'g'))))::INT\n         AS other\n  FROM t\n)\nSELECT doc_id, latin, digit, cyrillic, cjk, arabic, hangul, other,\n       CASE WHEN latin >= greatest(digit, greatest(cyrillic, greatest(cjk, greatest(arabic, greatest(hangul, other))))) THEN 'latin' ELSE CASE WHEN digit >= greatest(cyrillic, greatest(cjk, greatest(arabic, greatest(hangul, other)))) THEN 'digit' ELSE CASE WHEN cyrillic >= greatest(cjk, greatest(arabic, greatest(hangul, other))) THEN 'cyrillic' ELSE CASE WHEN cjk >= greatest(arabic, greatest(hangul, other)) THEN 'cjk' ELSE CASE WHEN arabic >= greatest(hangul, other) THEN 'arabic' ELSE CASE WHEN hangul >= other THEN 'hangul' ELSE 'other' END END END END END END AS dominant\nFROM c\n"
+
+QUERIES["text_script_profile"] = q_text_script_profile
+ORACLES["text_script_profile"] = ORACLE_SCRIPT_PROFILE
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import vocab_drift
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    new = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, " driftterm driftterm")
+            .otherwise(""),
+        ).alias("text")
+    )
+    return vocab_drift(docs, new, "text", k=20)
+
+
+ORACLE_VOCAB_DRIFT = """
+WITH old_t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+           '[^a-z0-9]+'), w -> w <> '')) AS term
+  FROM documents
+),
+new_t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(
+           text || CASE WHEN doc_id % 5 = 0 THEN ' driftterm driftterm'
+                        ELSE '' END),
+           '[^a-z0-9]+'), w -> w <> '')) AS term
+  FROM documents WHERE doc_id % 2 = 0
+),
+co AS (SELECT term, count(*)::BIGINT AS c_old FROM old_t GROUP BY term),
+cn AS (SELECT term, count(*)::BIGINT AS c_new FROM new_t GROUP BY term),
+no AS (SELECT sum(c_old)::DOUBLE AS n_old FROM co),
+nn AS (SELECT sum(c_new)::DOUBLE AS n_new FROM cn),
+j AS (
+  SELECT coalesce(co.term, cn.term) AS term,
+         coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+  FROM co FULL OUTER JOIN cn ON co.term = cn.term
+),
+s AS (
+  SELECT j.term, j.c_old, j.c_new,
+         ln((j.c_new + 0.5) / (nn.n_new - j.c_new + 0.5))
+           - ln((j.c_old + 0.5) / (no.n_old - j.c_old + 0.5)) AS lo
+  FROM j, no, nn
+  WHERE j.c_old + j.c_new >= 5
+)
+SELECT term, c_old, c_new, round(lo, 6) AS log_odds
+FROM s ORDER BY abs(lo) DESC, term LIMIT 20
+"""
+
+QUERIES["vocab_drift"] = q_vocab_drift
+ORACLES["vocab_drift"] = ORACLE_VOCAB_DRIFT

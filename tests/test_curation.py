@@ -774,3 +774,59 @@ class TestWeightedSample:
         got = [r["doc_id"] for r in
                weighted_sample_k(df2, "doc_id", "w", k=2).collect()]
         assert got[0] == 3
+
+
+class TestScriptProfile:
+    def test_counts_and_dominant(self, spark):
+        from doc_parser_spark.operators.curation import script_profile
+
+        rows = [
+            (1, "hello world 123"),
+            (2, "Привет мир ok"),
+            (3, "你好世界你好"),
+            (4, "안녕하세요"),
+            (5, "مرحبا abc"),
+            (6, "!!! ???"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r for r in
+            script_profile(df, "doc_id", "text").collect()
+        }
+        assert out[1]["latin"] == 10 and out[1]["digit"] == 3
+        assert out[1]["dominant"] == "latin"
+        assert out[2]["cyrillic"] == 9 and out[2]["dominant"] == "cyrillic"
+        assert out[3]["cjk"] == 6 and out[3]["dominant"] == "cjk"
+        assert out[4]["hangul"] == 5 and out[4]["dominant"] == "hangul"
+        assert out[5]["arabic"] == 5 and out[5]["dominant"] == "arabic"
+        assert out[6]["other"] == 6 and out[6]["dominant"] == "other"
+
+    def test_tie_goes_to_earlier_class(self, spark):
+        from doc_parser_spark.operators.curation import script_profile
+
+        df = spark.createDataFrame(
+            [(1, "ab12")], ["doc_id", "text"]  # latin 2, digit 2
+        )
+        r = script_profile(df, "doc_id", "text").collect()[0]
+        assert r["dominant"] == "latin"  # class-list order breaks ties
+
+
+class TestVocabDrift:
+    def test_planted_term_and_direction(self, spark):
+        from doc_parser_spark.operators.curation import vocab_drift
+
+        old = spark.createDataFrame(
+            [(i, "stable words here always") for i in range(40)]
+            + [(100 + i, "vanishing token") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(i, "stable words here always") for i in range(40)]
+            + [(200 + i, "emerging spike") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        out = {r["term"]: r["log_odds"]
+               for r in vocab_drift(old, new, "text", k=10).collect()}
+        assert out["emerging"] > 0 and out["spike"] > 0
+        assert out["vanishing"] < 0 and out["token"] < 0
+        assert abs(out.get("stable", 0.0)) < 0.2
