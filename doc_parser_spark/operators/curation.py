@@ -35,6 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1020,4 +1021,97 @@ def vocab_drift(
             F.col("c_new").cast("long").alias("c_new"),
             F.round("__lo", 6).alias("log_odds"),
         )
+    )
+
+
+def subword_encode_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_k: int = 64,
+    max_piece: int = 6,
+) -> DataFrame:
+    """REAL subword tokenization (greedy longest-match, WordPiece-style)
+    with a corpus-derived vocabulary — the upgrade over the reference's
+    words×1.3 token-count fallback. Vocabulary: every single character
+    plus the ``vocab_k`` most frequent substrings of length 2..max_piece
+    over corpus word occurrences (deterministic count-then-lexicographic
+    cutoff). Encoding: at each position take the LONGEST vocab piece
+    (single-char coverage guarantees progress). Returns per doc
+    (id, n_words, n_subwords).
+
+    Scale: the vocab build is one substring-explode aggregate (bounded:
+    ≤ max_piece substrings per character of corpus); encoding runs per
+    DISTINCT word (an aggregate first — Zipf makes distinct words ≪
+    occurrences) in an Arrow-vectorized pandas UDF with the ≤(k+Σ)
+    vocab broadcast in the closure, then joins counts back. The DuckDB
+    oracle replays the same greedy walk as a recursive CTE — a
+    cross-paradigm differential of the exact tokenization.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                "w -> w != '')"
+            )
+        ).alias("word"),
+    )
+    occ = toks.groupBy("word").agg(F.count("*").alias("occ"))
+    subs = occ.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {max_piece}), L -> "
+                f"CASE WHEN length(word) >= L THEN "
+                f"transform(sequence(1, length(word) - L + 1), "
+                f"i -> substring(word, i, L)) ELSE array() END))"
+            )
+        ).alias("piece"),
+        "occ",
+    )
+    multi = (
+        subs.groupBy("piece")
+        .agg(F.sum("occ").alias("c"))
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(vocab_k)
+        .select("piece")
+    )
+    chars = occ.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substring(word, i, 1))"
+            )
+        ).alias("piece")
+    ).distinct()
+    vocab_rows = [
+        r["piece"] for r in multi.unionByName(chars).distinct().collect()
+    ]
+    vocab = frozenset(vocab_rows)
+    max_len = max((len(p) for p in vocab), default=1)
+
+    @F.pandas_udf("int")
+    def encode_n(words: pd.Series) -> pd.Series:
+        def greedy(w: str) -> int:
+            n = 0
+            pos = 0
+            L = len(w)
+            while pos < L:
+                step = 1
+                top = min(max_len, L - pos)
+                for length in range(top, 0, -1):
+                    if w[pos : pos + length] in vocab:
+                        step = length
+                        break
+                pos += step
+                n += 1
+            return n
+
+        return words.map(greedy).astype("int32")
+
+    word_counts = occ.withColumn("n_sub", encode_n("word"))
+    per_doc = toks.join(F.broadcast(word_counts.drop("occ")), "word")
+    return per_doc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
     )

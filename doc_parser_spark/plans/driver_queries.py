@@ -5320,3 +5320,76 @@ FROM s ORDER BY abs(lo) DESC, term LIMIT 20
 
 QUERIES["vocab_drift"] = q_vocab_drift
 ORACLES["vocab_drift"] = ORACLE_VOCAB_DRIFT
+
+
+# ===========================================================================
+# batch 51 — REAL subword tokenization (greedy longest-match over a
+# corpus-derived vocabulary): Spark encodes per distinct word in an
+# Arrow-vectorized UDF with the bounded vocab in the closure; the oracle
+# replays the SAME greedy walk as a DuckDB recursive CTE — a
+# cross-paradigm differential of the exact tokenization
+# ===========================================================================
+_SW_VOCAB_K = 64
+
+
+def q_text_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.curation import subword_encode_counts
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return subword_encode_counts(
+        docs, "doc_id", "text", vocab_k=_SW_VOCAB_K, max_piece=6
+    )
+
+
+ORACLE_SUBWORD = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), w -> w <> '')) AS word
+  FROM documents
+),
+occ AS (SELECT word, count(*)::BIGINT AS occ FROM t GROUP BY word),
+subs AS (
+  SELECT substr(o.word, s.i, l.L) AS piece, o.occ
+  FROM occ o,
+       unnest(range(2, 7)) AS l(L),
+       unnest(range(1, greatest(length(o.word) - l.L + 2, 1))) AS s(i)
+  WHERE length(o.word) >= l.L
+),
+multi AS (
+  SELECT piece FROM (
+    SELECT piece, sum(occ) AS c FROM subs GROUP BY piece
+  ) ORDER BY c DESC, piece LIMIT {_SW_VOCAB_K}
+),
+chars AS (
+  SELECT DISTINCT substr(o.word, p.i, 1) AS piece
+  FROM occ o, unnest(range(1, length(o.word) + 1)) AS p(i)
+),
+vocab AS (SELECT piece FROM multi UNION SELECT piece FROM chars),
+dw AS (SELECT word FROM occ),
+pb AS (
+  SELECT d.word, p.pos, max(length(v.piece)) AS step
+  FROM dw d,
+       unnest(range(0, length(d.word))) AS p(pos),
+       vocab v
+  WHERE substr(d.word, p.pos + 1, length(v.piece)) = v.piece
+  GROUP BY d.word, p.pos
+),
+walk AS (
+  SELECT word, 0 AS pos, 0 AS n FROM dw
+  UNION ALL
+  SELECT w.word, w.pos + pb.step, w.n + 1
+  FROM walk w JOIN pb ON pb.word = w.word AND pb.pos = w.pos
+  WHERE w.pos < length(w.word)
+),
+done AS (SELECT word, n FROM walk WHERE pos = length(word))
+SELECT t.doc_id, count(*)::BIGINT AS n_words,
+       sum(d.n)::BIGINT AS n_subwords
+FROM t JOIN done d USING (word)
+GROUP BY t.doc_id
+"""
+
+QUERIES["text_subword_counts"] = q_text_subword_counts
+ORACLES["text_subword_counts"] = ORACLE_SUBWORD

@@ -830,3 +830,47 @@ class TestVocabDrift:
         assert out["emerging"] > 0 and out["spike"] > 0
         assert out["vanishing"] < 0 and out["token"] < 0
         assert abs(out.get("stable", 0.0)) < 0.2
+
+
+class TestSubwordEncode:
+    def test_greedy_longest_match(self, spark):
+        from doc_parser_spark.operators.curation import subword_encode_counts
+
+        # 'inter' and 'national' dominate the substring counts, so
+        # 'international' should encode to few pieces while a rare word
+        # falls back toward characters
+        docs = spark.createDataFrame(
+            [(i, "international internal nation national inter")
+             for i in range(10)] + [(99, "xyzqw international")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in subword_encode_counts(
+                docs, "doc_id", "text", vocab_k=32, max_piece=6
+            ).collect()
+        }
+        n_words, n_sub = out[0]
+        assert n_words == 5
+        # every word must compress below character-count with this vocab
+        assert n_sub < len("internationalinternalnationnationalinter")
+        # rare word: 5 chars, no frequent multi-piece → close to 5 pieces
+        rare_words, rare_sub = out[99]
+        assert rare_words == 2
+        assert rare_sub >= 1 + 3  # xyzqw mostly chars + compressed word
+
+    def test_single_char_coverage_total(self, spark):
+        from doc_parser_spark.operators.curation import subword_encode_counts
+
+        # a corpus of unique words: encoding must still terminate and
+        # cover every word (n_subwords bounded by total chars)
+        docs = spark.createDataFrame(
+            [(i, f"w{i}abc u{i}") for i in range(20)], ["doc_id", "text"]
+        )
+        out = subword_encode_counts(
+            docs, "doc_id", "text", vocab_k=8
+        ).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r["n_words"] == 2
+            assert 2 <= r["n_subwords"] <= 10
