@@ -2250,18 +2250,24 @@ def q_text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size({words}) - {k} + 1), "
         f"i -> substr(md5(concat_ws(' ', slice({words}, i, {k}))), 1, 8))"
     )
+    # the hash array is MATERIALIZED as its own column before the window
+    # scan — inlining it into every window position re-evaluates the full
+    # md5 transform per window (Catalyst does not CSE that shape; the
+    # SimHash lesson), which made this the battery's slowest query by 10x
+    # (103 s at sf0.1 → ~3 s)
     fps = (
-        f"CASE WHEN size({words}) >= {k} + {w} - 1 THEN "
-        f"array_sort(array_distinct(transform(sequence(1, size({words}) - {k} - {w} + 2), "
-        f"j -> array_min(slice({hashes}, j, {w}))))) "
+        f"CASE WHEN size(hs) >= {w} THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size(hs) - {w} + 1), "
+        f"j -> array_min(slice(hs, j, {w}))))) "
         f"ELSE array() END"
     )
     return (
         _docs(spark, sf_dir)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(F.expr(fps)).alias("fp"),
+            F.expr(hashes).alias("hs"),
         )
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
     )
 
 
