@@ -1110,8 +1110,17 @@ def subword_encode_counts(
         return words.map(greedy).astype("int32")
 
     word_counts = occ.withColumn("n_sub", encode_n("word"))
-    per_doc = toks.join(F.broadcast(word_counts.drop("occ")), "word")
+    # Scale shape (PLANS §19): the distinct-word table is UNBOUNDED on a web
+    # corpus (typo/URL tail) — it must never be broadcast.  Pre-aggregate the
+    # occurrence side to (id, word, cnt) (map-side combinable, constant-width
+    # rows), then a plain shuffle join on `word`: both sides are
+    # constant-width, the heavy text column never shuffles, and the encode_n
+    # pandas UDF still runs once per DISTINCT word, not per occurrence.
+    per_doc_words = toks.groupBy(id_col, "word").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_doc_words.join(word_counts.drop("occ"), "word")
     return per_doc.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias("n_subwords"),
     )

@@ -4463,8 +4463,12 @@ ORACLES["events_rolling_features"] = ORACLE_ROLLING
 # batch 38 — phrase mining (word2vec collocation pass): pairs co-occurring
 # far above their parts' frequency product; exact count arithmetic
 # ===========================================================================
-_PHRASE_DELTA = 3
-_PHRASE_THRESHOLD = 1.5
+# Tuned so the contract corpus emits real collocations at every SF (the
+# round-3 verdict flagged delta=3/th=1.5 as vacuous: 0 rows at sf0.01, so
+# the green cell only proved both engines agree on an empty frame).  With
+# delta=1/th=1.0 the gate sees 365/346/332 rows at sf0.001/0.01/0.1.
+_PHRASE_DELTA = 1
+_PHRASE_THRESHOLD = 1.0
 
 
 def q_text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,6 +156,29 @@ class TestCurationLayerPlans:
         plan = _plan(tfidf_top_terms(docs, "doc_id", "text", k=3))
         assert "CartesianProduct" not in plan
 
+    def test_subword_word_join_not_broadcast(self, docs):
+        """The occurrence→n_sub join is keyed on DISTINCT WORDS — unbounded
+        on a web corpus — so it must be a shuffle join, never a
+        BroadcastExchange (the round-3 verdict's one scale-killer).  The
+        bounded-model broadcast pattern applies only to closures/models,
+        not to this join."""
+        from doc_parser_spark.operators.curation import subword_encode_counts
+
+        spark = docs.sparkSession
+        # Kill size-based auto-broadcast so any BroadcastExchange left in
+        # the plan can only come from an explicit F.broadcast hint.
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(
+                subword_encode_counts(docs, "doc_id", "text", vocab_k=8)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_cc_lineage_stays_bounded(self, spark):
         """The localCheckpoint contract: plan size after a 7-round path-
         graph convergence must stay flat (the pre-fix exponential lineage
