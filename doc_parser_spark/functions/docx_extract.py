@@ -37,6 +37,8 @@ from __future__ import annotations
 
 import re
 import zipfile
+
+from doc_parser_spark.functions.ziputil import open_zip
 from dataclasses import dataclass, field
 from io import BytesIO
 from pathlib import Path
@@ -720,7 +722,7 @@ class _DocxWalker:
 # ---------------------------------------------------------------------------
 def parse_docx(payload: bytes) -> DocxNode:
     """.docx bytes → docling-shaped node tree."""
-    zf = zipfile.ZipFile(BytesIO(payload))
+    zf = open_zip(payload)  # maps encrypted-member RuntimeError to ValueError
     names = set(zf.namelist())
     doc_xml = zf.read("word/document.xml")
     styles = _Styles(

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import re
 import zipfile
+
+from doc_parser_spark.functions.ziputil import open_zip
 from io import BytesIO
 from typing import Optional
 from xml.etree import ElementTree as ET
@@ -706,7 +708,7 @@ class _HwpxParser:
 
 def parse_hwpx(payload: bytes) -> DocxNode:
     """HWPX zip bytes → docling-shaped DocxNode tree."""
-    zf = zipfile.ZipFile(BytesIO(payload))
+    zf = open_zip(payload)  # maps encrypted-member RuntimeError to ValueError
     if "Contents/section0.xml" not in zf.namelist():
         raise ValueError("not an HWPX document (no Contents/section0.xml)")
     parser = _HwpxParser(zf)

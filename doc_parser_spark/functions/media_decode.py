@@ -27,6 +27,7 @@ for the covered formats.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
@@ -37,6 +38,58 @@ import numpy as np
 
 class MediaDecodeError(Exception):
     pass
+
+
+# Sanity cap on header-declared dimensions: a single flipped bit in a
+# width/height field must not turn into a multi-GB allocation on an
+# executor.  100 MP is far above any fixture and any plausible web image.
+_MAX_PIXELS = 100_000_000
+
+
+def _check_dims(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
+        raise MediaDecodeError(f"implausible dimensions {width}x{height}")
+
+
+# Exception types that signal MALFORMED DATA inside a decoder (truncated
+# buffer, bad huffman code, corrupt zlib stream, out-of-range index into a
+# parsed table).  Deliberately NOT Exception: programming-error types
+# (TypeError, AttributeError, NameError) still propagate so the fuzz suite
+# can't mask real bugs.
+_MALFORMED = (
+    struct.error,
+    zlib.error,
+    KeyError,
+    IndexError,
+    ValueError,
+    OverflowError,
+    EOFError,
+    ZeroDivisionError,
+    UnicodeDecodeError,
+    wave.Error,
+)
+
+
+def _untrusted(fn):
+    """Decoders parse UNTRUSTED bytes: any data-shaped failure must surface
+    as MediaDecodeError — the one type the operator layer maps to a
+    ``failure`` status row (the reference's error envelope,
+    docling/pipeline/base_pipeline.py:219-232) — never a raw struct/zlib/
+    container error that would kill an executor task."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaDecodeError:
+            raise
+        except _MALFORMED as ex:
+            raise MediaDecodeError(
+                f"malformed input in {fn.__name__}: "
+                f"{type(ex).__name__}: {ex}"
+            ) from ex
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +151,7 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return recon
 
 
+@_untrusted
 def decode_png(payload: bytes) -> tuple[int, int, float]:
     """PNG bytes → (width, height, mean_luma in [0,1])."""
     if payload[:8] != PNG_MAGIC:
@@ -131,7 +185,13 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
             f"interlace={interlace})"
         )
     bpp = _CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
+    _check_dims(width, height)
+    # Bound the inflate at the raw scanline size (+1 byte to detect
+    # overlong streams) so a corrupt/bomb IDAT can't balloon memory.
+    expected = height * (1 + width * bpp)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise MediaDecodeError("IDAT longer than scanline geometry")
     recon = _unfilter(raw, width, height, bpp)
     px = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(height, width, bpp)
     if colortype == 0:
@@ -151,6 +211,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
 # ---------------------------------------------------------------------------
 # BMP
 # ---------------------------------------------------------------------------
+@_untrusted
 def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     """Uncompressed 24/32-bit BMP → (width, height, mean_luma)."""
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -166,6 +227,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     if comp != 0 or bits not in (24, 32):
         raise MediaDecodeError(f"unsupported BMP (bits={bits} comp={comp})")
     height = abs(height_s)
+    _check_dims(width, height)
     bottom_up = height_s > 0
     bytepp = bits // 8
     stride = (width * bytepp + 3) & ~3
@@ -188,6 +250,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 _WAV_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
 
+@_untrusted
 def decode_wav(payload: bytes) -> dict:
     """RIFF/PCM WAV → channels, sample_rate, n_frames, duration_s, rms,
     peak (rms/peak normalized to [0,1] full-scale)."""
@@ -198,7 +261,10 @@ def decode_wav(payload: bytes) -> dict:
             sampwidth = w.getsampwidth()
             n_frames = w.getnframes()
             frames = w.readframes(n_frames)
-    except (wave.Error, EOFError) as ex:
+    except (wave.Error, EOFError, RuntimeError) as ex:
+        # stdlib chunk.py raises bare RuntimeError on a corrupt chunk-size
+        # seek; kept OUT of the module-wide _MALFORMED set because
+        # RecursionError subclasses RuntimeError
         raise MediaDecodeError(f"bad WAV: {ex}") from ex
     if sampwidth not in _WAV_DTYPES:
         raise MediaDecodeError(f"unsupported sample width {sampwidth}")
@@ -221,6 +287,7 @@ def decode_wav(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # MP4 (ISO-BMFF) metadata
 # ---------------------------------------------------------------------------
+@_untrusted
 def parse_mp4_meta(payload: bytes) -> dict:
     """Walk top-level + moov boxes: ftyp brand, mvhd duration, trak count.
 
@@ -379,6 +446,7 @@ def _decode_block(br, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
     return coef, pred
 
 
+@_untrusted
 def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
     """Baseline JPEG bytes → (width, height, mean_luma in [0,1])."""
     if payload[:2] != JPEG_MAGIC:
@@ -429,6 +497,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
         elif m in (0xC0, 0xC1):
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
+            _check_dims(w, h)
             comps = []
             for c in range(seg[5]):
                 cid = seg[6 + 3 * c]
@@ -574,6 +643,7 @@ def _lzw_decode(min_code_size: int, data: bytes, npixels: int) -> bytearray:
     return out
 
 
+@_untrusted
 def decode_gif(payload: bytes) -> tuple[int, int, float]:
     """GIF bytes → (width, height, mean_luma) of the FIRST image frame
     (BT.601 luma over the palette-mapped pixels; interlaced rows are
@@ -605,6 +675,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, float]:
         if b != 0x2C:
             raise MediaDecodeError(f"unexpected GIF block 0x{b:02X}")
         _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        _check_dims(iw, ih)
         pos += 10
         table = gct
         if iflags & 0x80:
@@ -668,6 +739,7 @@ def _packbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+@_untrusted
 def decode_tiff(payload: bytes) -> tuple[int, int, float]:
     """Baseline TIFF bytes → (width, height, mean_luma): first IFD, strip
     layout, compression 1 (none) or 32773 (PackBits), 8-bit grayscale
@@ -691,6 +763,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, float]:
         if typ not in _TYPE_SIZE:
             continue
         size = _TYPE_SIZE[typ] * cnt
+        # a corrupt count field must not drive a giant struct format string:
+        # real tag data always fits inside the file
+        if size > len(payload):
+            raise MediaDecodeError("TIFF tag data larger than file")
         if size <= 4:
             voff = off + 8
         else:
@@ -709,6 +785,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, float]:
         counts = tags[279]
     except KeyError as e:
         raise MediaDecodeError(f"missing TIFF tag {e}") from e
+    _check_dims(w, h)
     bits = tags.get(258, [8])
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
@@ -743,6 +820,82 @@ def decode_tiff(payload: bytes) -> tuple[int, int, float]:
 
 
 # ---------------------------------------------------------------------------
+# WebP (RIFF container; VP8L lossless decodes FOR REAL via functions/vp8l.py,
+# lossy VP8 is header-parsed only — its pixel decode is a full video codec)
+# ---------------------------------------------------------------------------
+WEBP_MAGIC_HEAD = b"RIFF"
+WEBP_MAGIC_TYPE = b"WEBP"
+
+
+def is_webp(payload: bytes) -> bool:
+    return payload[:4] == WEBP_MAGIC_HEAD and payload[8:12] == WEBP_MAGIC_TYPE
+
+
+def _webp_chunks(payload: bytes):
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise MediaDecodeError("truncated WebP chunk")
+        yield fourcc, body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _vp8_frame_dims(body: bytes) -> tuple[int, int]:
+    """Lossy VP8 keyframe: the uncompressed frame tag carries 14-bit dims
+    (RFC 6386 §9.1). Reproduces the reference groundtruth's page geometry
+    for tests/data/webp/webp-test.webp (2000 x 2829)."""
+    if len(body) < 10:
+        raise MediaDecodeError("truncated VP8 frame header")
+    tag = body[0] | (body[1] << 8) | (body[2] << 16)
+    if tag & 1:
+        raise MediaDecodeError("VP8 inter-frame cannot stand alone")
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise MediaDecodeError("bad VP8 start code")
+    w = (body[6] | (body[7] << 8)) & 0x3FFF
+    h = (body[8] | (body[9] << 8)) & 0x3FFF
+    return w, h
+
+
+@_untrusted
+def decode_webp(payload: bytes) -> tuple[int, int, Optional[float], str]:
+    """WebP bytes → (width, height, mean_luma, status).
+
+    VP8L (lossless) decodes fully → status 'decoded'; lossy VP8 yields real
+    dimensions with a null luma → status 'header_only' (the honest seam:
+    VP8 pixel decode is boolean-coder + DCT + loop filter — a codec
+    library's job). VP8X extended files are walked for their image chunk.
+    """
+    if not is_webp(payload):
+        raise MediaDecodeError("not a WebP")
+    for fourcc, body in _webp_chunks(payload):
+        if fourcc == b"VP8L":
+            from doc_parser_spark.functions.vp8l import decode_vp8l
+
+            img = decode_vp8l(body)
+            h, w = img.shape
+            rgb = np.stack(
+                [
+                    (img >> np.uint32(16)) & np.uint32(0xFF),
+                    (img >> np.uint32(8)) & np.uint32(0xFF),
+                    img & np.uint32(0xFF),
+                ],
+                axis=2,
+            ).astype(np.float64)
+            luma = rgb @ np.array([0.299, 0.587, 0.114])
+            return w, h, float(luma.mean() / 255.0), "decoded"
+        if fourcc == b"VP8 ":
+            w, h = _vp8_frame_dims(body)
+            _check_dims(w, h)
+            return w, h, None, "header_only"
+        # VP8X and metadata chunks: keep walking to the image chunk
+    raise MediaDecodeError("no image chunk in WebP")
+
+
+# ---------------------------------------------------------------------------
 # AVI / MJPEG (RIFF chunk walk; each '00dc'/'00db' frame is a baseline JPEG
 # that decode_jpeg handles — real frame extraction with zero codec libs)
 # ---------------------------------------------------------------------------
@@ -750,6 +903,7 @@ AVI_MAGIC_HEAD = b"RIFF"
 AVI_MAGIC_TYPE = b"AVI "
 
 
+@_untrusted
 def iter_avi_mjpeg_frames(payload: bytes) -> list[bytes]:
     """RIFF/AVI bytes → the raw per-frame payloads from '00dc'/'00db'
     chunks (any stream-0 video chunk), in file order. Raises on a non-AVI
@@ -777,6 +931,7 @@ def iter_avi_mjpeg_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+@_untrusted
 def decode_avi_mjpeg(
     payload: bytes, every_n: int = 1
 ) -> list[tuple[int, int, int, float]]:

@@ -33,7 +33,9 @@ decode; advances use horizontal widths).
 
 from __future__ import annotations
 
+import functools
 import re
+import struct
 import zlib
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -389,6 +391,49 @@ class PdfError(ValueError):
     pass
 
 
+# Exception types that signal MALFORMED PDF BYTES somewhere below the public
+# entry point (truncated buffer, corrupt flate stream, an index into a parsed
+# table knocked out of range by a flipped bit, a reference cycle that exhausts
+# the recursion guard margins).  Deliberately NOT Exception: programming-error
+# types (TypeError, AttributeError, NameError) still propagate so the
+# corruption-fuzz suite can't mask real bugs.  RecursionError is data-shaped
+# HERE (unlike in media_decode): object graphs in a hostile PDF are cyclic by
+# construction and the depth guards bound only the walks we anticipated.
+_PDF_MALFORMED = (
+    struct.error,
+    zlib.error,
+    KeyError,
+    IndexError,
+    ValueError,  # includes PdfError itself and int()/float() parse failures
+    OverflowError,
+    EOFError,
+    ZeroDivisionError,
+    UnicodeDecodeError,
+    RecursionError,
+)
+
+
+def untrusted_pdf(fn):
+    """Public decoder entry points parse UNTRUSTED bytes: any data-shaped
+    failure must surface as PdfError — the one type the extract router maps
+    to a ``failure`` status row (the reference's error envelope,
+    docling/pipeline/base_pipeline.py:219-232) — never a raw struct/zlib/
+    container error that would kill an executor task."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except PdfError:
+            raise
+        except _PDF_MALFORMED as ex:
+            raise PdfError(
+                f"malformed PDF in {fn.__name__}: {type(ex).__name__}: {ex}"
+            ) from ex
+
+    return wrapped
+
+
 class PdfDocument:
     """Lazy, xref-driven PDF object store over a bytes buffer."""
 
@@ -595,6 +640,8 @@ class PdfDocument:
         data = self.decode_stream(stm)
         n = self.resolve(stm.dict.get("N", 0))
         first = self.resolve(stm.dict.get("First", 0))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise PdfError("bad ObjStm N/First")
         header: list[int] = []
         i = 0
         for _ in range(2 * n):
@@ -648,7 +695,9 @@ class PdfDocument:
         data = stm.raw
         for f, p in zip(filters, parms or [None] * len(filters)):
             f = _FILTER_ALIASES.get(str(f), str(f))
-            p = self.resolve(p) or {}
+            p = self.resolve(p)
+            if not isinstance(p, dict):  # corrupt DecodeParms → ignore them
+                p = {}
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
@@ -1048,13 +1097,17 @@ class ContentInterpreter:
         self.doc = doc
         self.glyphs: list[_Glyph] = []
         self._font_cache = doc._font_cache  # shared across pages
-        self._res_stack: list[dict] = [resources or {}]
+        self._res_stack: list[dict] = [
+            resources if isinstance(resources, dict) else {}
+        ]
 
     # -- resources -----------------------------------------------------------
 
     def _font(self, name: str) -> Optional[Font]:
         res = self._res_stack[-1]
-        fonts = self.doc.resolve(res.get("Font")) or {}
+        fonts = self.doc.resolve(res.get("Font"))
+        if not isinstance(fonts, dict):  # corrupt bytes: /Font resolved to junk
+            fonts = {}
         fd = fonts.get(name)
         # Refs key by object number; inline dicts by id() — the cached entry
         # pins fd so a freed dict's id can never alias into a stale hit
@@ -1070,7 +1123,9 @@ class ContentInterpreter:
 
     def _xobject(self, name: str):
         res = self._res_stack[-1]
-        xo = self.doc.resolve(res.get("XObject")) or {}
+        xo = self.doc.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return None
         return self.doc.resolve(xo.get(name))
 
     # -- main loop -----------------------------------------------------------
@@ -1438,6 +1493,7 @@ def _assemble_cells(glyphs: list[_Glyph]) -> list[tuple[float, float, float, flo
     return out
 
 
+@untrusted_pdf
 def decode_pdf_pages(data: bytes):
     """bytes → (cells, pages) in the parse_cell_dump contract: cells are
     (page_no, x0, y0, x1, y1, text) with TOP-LEFT origin; pages maps

@@ -25,6 +25,8 @@ Ported semantics (file:line cites):
 from __future__ import annotations
 
 import zipfile
+
+from doc_parser_spark.functions.ziputil import open_zip
 from io import BytesIO
 from xml.etree import ElementTree as ET
 
@@ -187,7 +189,7 @@ class _PptxWalker:
 
 def parse_pptx(payload: bytes) -> DocxNode:
     """.pptx bytes → docling-shaped node tree."""
-    zf = zipfile.ZipFile(BytesIO(payload))
+    zf = open_zip(payload)  # maps encrypted-member RuntimeError to ValueError
     names = set(zf.namelist())
 
     rels: dict[str, str] = {}

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import re
 import zipfile
+
+from doc_parser_spark.functions.ziputil import open_zip
 from dataclasses import dataclass, field
 from io import BytesIO
 from typing import Optional
@@ -147,7 +149,7 @@ def _load_date_styles(xml: Optional[bytes]) -> set[int]:
 
 
 def load_sheets(payload: bytes) -> list[_Sheet]:
-    zf = zipfile.ZipFile(BytesIO(payload))
+    zf = open_zip(payload)  # maps encrypted-member RuntimeError to ValueError
     names = set(zf.namelist())
 
     shared: list[str] = []

@@ -1,10 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Decode coverage (round 3): PNG and BMP images, RIFF/PCM WAV audio, and
-ISO-BMFF (MP4) metadata decode FOR REAL on the stdlib
-(functions/media_decode.py — zlib + PNG scanline filters, ``wave``, box
-walk), same from-scratch approach as the %PDF decoder. Formats that
-genuinely need codec libraries (JPEG entropy coding, video frames) remain
+Decode coverage (round 4): PNG, BMP, baseline JPEG (T.81), GIF (LZW),
+TIFF 6.0, and lossless WebP (VP8L) images, RIFF/PCM WAV audio, ISO-BMFF
+(MP4) metadata, and MJPEG-in-AVI video frames ALL decode FOR REAL on the
+stdlib + numpy (functions/media_decode.py, functions/vp8l.py) — the same
+from-scratch approach as the %PDF decoder. What remains codec-bound is
+explicit, never faked: lossy-VP8 WebP yields real header dimensions with
+status='header_only'; compressed audio (MP3) and non-MJPEG video stay
 behind the injectable-decoder seam with a deterministic stub
 (``_fake_decode_image`` / frame hashes) — swap in PIL/ffmpeg on a cluster
 that has them; the stub rows are explicitly status='stub_decoded'.
@@ -99,6 +101,8 @@ def _stdlib_decode_image(payload: bytes):
         decode_jpeg,
         decode_png,
         decode_tiff,
+        decode_webp,
+        is_webp,
     )
 
     if payload[:8] == PNG_MAGIC:
@@ -116,6 +120,10 @@ def _stdlib_decode_image(payload: bytes):
     if payload[:4] in TIFF_MAGICS:
         w, h, luma = decode_tiff(payload)
         return w, h, luma, "decoded"
+    if is_webp(payload):
+        # VP8L decodes fully; lossy VP8 reports real dims + null luma with
+        # status 'header_only' (pixel decode is codec-bound, like MP3)
+        return decode_webp(payload)
     w, h, luma = _fake_decode_image(payload)
     return w, h, luma, "stub_decoded"
 

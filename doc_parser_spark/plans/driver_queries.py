@@ -3855,6 +3855,32 @@ ORACLES["m7_video_frames"] = ORACLE_M7_AVI
 
 
 # ===========================================================================
+# batch 28b — REAL lossless-WebP decode (from-scratch VP8L: canonical
+# prefix codes, color cache, LZ77 backward refs, subtract-green — the
+# builder enables all three coding features, so the contract query pins
+# each bitstream path; lossless → the gray gradient has an exact
+# closed-form mean, same integer-avg oracle shape as m5/m6)
+# ===========================================================================
+q_m8_webp_decode = _media_query("image", "build_webp", _q_m1)
+
+ORACLE_M8_WEBP = """
+SELECT d.doc_id::BIGINT AS doc_id,
+       (16 + d.doc_id % 5)::INT AS width,
+       (12 + d.doc_id % 7)::INT AS height,
+       round(avg(((d.doc_id + 3 * y.y + 7 * x.x) % 256) * 1.0) / 255.0, 4)
+         AS mean_luma,
+       'decoded' AS decode_status
+FROM documents d
+JOIN range(0, 19) y(y) ON y.y < 12 + d.doc_id % 7
+JOIN range(0, 21) x(x) ON x.x < 16 + d.doc_id % 5
+GROUP BY d.doc_id
+"""
+
+QUERIES["m8_webp_decode"] = q_m8_webp_decode
+ORACLES["m8_webp_decode"] = ORACLE_M8_WEBP
+
+
+# ===========================================================================
 # batch 29 — substring-level exact dedup (Lee et al. 2022 family: token
 # spans whose every k-gram repeats corpus-wide, merged per doc) + the
 # per-doc duplicated-token fraction signal

@@ -529,3 +529,8 @@ def build_avi(doc_id: int) -> bytes:
                  for c in range(3)] for r in range(2)]
         frames.append(encode_jpeg_gray_blocks(vals))
     return encode_avi_mjpeg(frames, 24, 16)
+
+
+# WebP builder lives in its own module (the VP8L encoder is sizeable);
+# re-exported here so _media_query-style getattr dispatch finds it
+from doc_parser_spark.sources.synth_webp import build_webp  # noqa: E402,F401

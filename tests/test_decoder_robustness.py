@@ -1,0 +1,231 @@
+"""Adversarial robustness sweep of every from-scratch binary decoder:
+truncation and single-bit-flip corruptions of KNOWN-VALID payloads (synth
+builders + the reference's own fixtures) must never hang, never kill the
+worker with a raw struct/zlib/Index error, and never return malformed
+feature values — they either still decode (a flipped pixel bit is a legal
+image) or raise exactly the decoder's documented error type, which the
+operator layer maps to a ``failure`` status row (the reference's error
+envelope: docling/pipeline/base_pipeline.py:219-232 wraps every backend
+exception into ConversionStatus.FAILURE with an ErrorItem, never a crash).
+
+Two assertion tiers:
+
+- media + PDF decoders have a HARD single-type contract (MediaDecodeError /
+  PdfError) enforced by their ``_untrusted`` wrappers — anything else is a
+  programming error the wrapper deliberately lets through so this suite
+  fails on it;
+- the zip-container extractors (xlsx/docx/pptx/hwpx) raise whatever the
+  stdlib raises, so the contract there is (a) the exception class is
+  data-shaped (BadZipFile, ParseError, ValueError, ...) and never a
+  programming-error class (TypeError, AttributeError, UnboundLocalError),
+  and (b) the ``extract_office`` envelope converts ALL of them into a
+  ``failure`` row without raising.
+
+The corruption schedule is seeded and deterministic — a failure reproduces.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zipfile
+import zlib
+from pathlib import Path
+from xml.etree.ElementTree import ParseError
+
+import pytest
+
+from doc_parser_spark.functions.media_decode import (
+    MediaDecodeError,
+    decode_avi_mjpeg,
+    decode_bmp,
+    decode_gif,
+    decode_jpeg,
+    decode_png,
+    decode_tiff,
+    decode_wav,
+    decode_webp,
+    parse_mp4_meta,
+)
+from doc_parser_spark.functions.pdf_decode import PdfError, decode_pdf_pages
+from doc_parser_spark.operators.office import extract_office
+from doc_parser_spark.sources import synth_media, synth_office, synth_pdf
+
+REF = Path("/root/reference")
+REF_JPEG = REF / "genon/preprocessor/sample_files/jpeg_sample.jpeg"
+REF_HWPX = REF / "genon/preprocessor/sample_files/hwpx_sample.hwpx"
+
+# exception classes that signal MALFORMED DATA when a zip-container
+# extractor meets corrupt bytes; programming-error classes are absent on
+# purpose — seeing one of those IS the bug this suite exists to catch.
+_DATA_SHAPED = (
+    ValueError,  # covers PdfError, int() parses, "not an HWPX document"
+    KeyError,
+    IndexError,
+    struct.error,
+    zlib.error,
+    zipfile.BadZipFile,
+    zipfile.LargeZipFile,
+    ParseError,  # ElementTree (subclasses SyntaxError, NOT ValueError)
+    EOFError,
+    OverflowError,
+    UnicodeDecodeError,
+    NotImplementedError,  # zipfile raises it for unsupported compress types
+)
+
+_PROGRAMMING_ERRORS = (TypeError, AttributeError, UnboundLocalError)
+
+
+def _flip_bit(payload: bytes, bit: int) -> bytes:
+    buf = bytearray(payload)
+    buf[bit >> 3] ^= 1 << (bit & 7)
+    return bytes(buf)
+
+
+def _corruptions(payload: bytes, rng: random.Random, n_flips: int,
+                 n_truncs: int):
+    """Deterministic corruption schedule: single bit flips at seeded
+    positions (header-biased: half the flips land in the first 256 bytes,
+    where the parse-critical structure lives) + prefix truncations spread
+    over the whole length."""
+    nbits = len(payload) * 8
+    head = min(nbits, 256 * 8)
+    for _ in range(n_flips // 2):
+        yield _flip_bit(payload, rng.randrange(head))
+    for _ in range(n_flips - n_flips // 2):
+        yield _flip_bit(payload, rng.randrange(nbits))
+    for _ in range(n_truncs):
+        yield payload[: rng.randrange(len(payload))]
+    yield b""
+    yield payload[:1]
+    yield payload[: len(payload) // 2]
+
+
+def _sweep_hard(decoder, payload: bytes, allowed: type, n_flips=120,
+                n_truncs=30, check=None):
+    """Run the corruption schedule through a hard-contract decoder: every
+    call either succeeds (optionally validated by ``check``) or raises
+    exactly ``allowed``."""
+    rng = random.Random(0xD0C0DE)
+    for corrupt in _corruptions(payload, rng, n_flips, n_truncs):
+        try:
+            out = decoder(corrupt)
+        except allowed:
+            continue
+        if check is not None:
+            check(out)
+
+
+def _check_image(out):
+    w, h, luma = out
+    assert 0 < w * h <= 100_000_000
+    assert 0.0 <= luma <= 1.0
+
+
+# --- media decoders --------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,builder,decoder,check",
+    [
+        ("png", synth_media.build_png, decode_png, _check_image),
+        ("bmp", synth_media.build_bmp, decode_bmp, _check_image),
+        ("jpeg", synth_media.build_jpeg, decode_jpeg, _check_image),
+        ("gif", synth_media.build_gif, decode_gif, _check_image),
+        ("tiff", synth_media.build_tiff, decode_tiff, _check_image),
+        ("wav", synth_media.build_wav, decode_wav, None),
+        ("mp4", synth_media.build_mp4, parse_mp4_meta, None),
+        ("avi", synth_media.build_avi, decode_avi_mjpeg, None),
+        ("webp", synth_media.build_webp, decode_webp, None),
+    ],
+)
+def test_media_decoder_corruption(name, builder, decoder, check):
+    _sweep_hard(decoder, builder(7), MediaDecodeError, check=check)
+
+
+def test_reference_webp_corruption():
+    payload = (REF / "tests/data/webp/webp-test.webp").read_bytes()
+    _sweep_hard(decode_webp, payload, MediaDecodeError, n_flips=60,
+                n_truncs=15)
+
+
+def test_reference_jpeg_corruption():
+    payload = REF_JPEG.read_bytes()
+    _sweep_hard(decode_jpeg, payload, MediaDecodeError, n_flips=60,
+                n_truncs=15, check=_check_image)
+
+
+# --- PDF -------------------------------------------------------------------
+
+def test_synth_pdf_corruption():
+    payload = synth_pdf.build_report_pdf(3)
+    _sweep_hard(decode_pdf_pages, payload, PdfError, n_flips=150,
+                n_truncs=40)
+
+
+def test_reference_pdf_corruption():
+    # the smallest reference text-PDF fixture keeps the sweep fast while
+    # still exercising xref streams / real fonts
+    fixtures = sorted(
+        (REF / "tests/data/pdf").glob("*.pdf"),
+        key=lambda p: p.stat().st_size,
+    )
+    if not fixtures:
+        pytest.skip("no reference pdf fixtures")
+    payload = fixtures[0].read_bytes()
+    _sweep_hard(decode_pdf_pages, payload, PdfError, n_flips=40, n_truncs=10)
+
+
+# --- zip-container extractors ---------------------------------------------
+
+def _sweep_soft(extractor, payload: bytes, n_flips=80, n_truncs=20):
+    """Soft contract: corruption may raise, but only data-shaped classes —
+    a TypeError/AttributeError/UnboundLocalError here is a real bug."""
+    rng = random.Random(0xBADC0DE)
+    for corrupt in _corruptions(payload, rng, n_flips, n_truncs):
+        try:
+            extractor(corrupt)
+        except _PROGRAMMING_ERRORS as ex:  # pragma: no cover - fail loudly
+            raise AssertionError(
+                f"programming-error leak on corrupt input: "
+                f"{type(ex).__name__}: {ex}"
+            ) from ex
+        except _DATA_SHAPED:
+            continue
+
+
+def _office_payloads():
+    from doc_parser_spark.functions.docx_extract import extract_docx
+    from doc_parser_spark.functions.hwpx_extract import extract_hwpx
+    from doc_parser_spark.functions.pptx_extract import extract_pptx
+    from doc_parser_spark.functions.xlsx_extract import extract_xlsx
+
+    return [
+        ("docx", extract_docx,
+         synth_office.build_docx("T", ["alpha beta", "gamma"], ["x", "y"])),
+        ("xlsx", extract_xlsx,
+         synth_office.build_xlsx("S", [["a", "1"], ["b", "2"]])),
+        ("pptx", extract_pptx, synth_office.build_pptx("T", ["p", "q"])),
+        ("hwpx", extract_hwpx, synth_office.build_hwpx(1, "사례 본문 내용")),
+        ("hwpx-ref", extract_hwpx, REF_HWPX.read_bytes()),
+    ]
+
+
+@pytest.mark.parametrize("name,extractor,payload",
+                         _office_payloads(),
+                         ids=lambda v: v if isinstance(v, str) else "")
+def test_office_extractor_corruption(name, extractor, payload):
+    n = 40 if name == "hwpx-ref" else 80
+    _sweep_soft(extractor, payload, n_flips=n, n_truncs=n // 4)
+
+
+def test_office_envelope_never_raises():
+    """The operator-level envelope turns EVERY corrupt-zip failure into a
+    ``failure`` status row — the property the executors rely on."""
+    rng = random.Random(0x0FF1CE)
+    for _, _, payload in _office_payloads()[:4]:
+        for corrupt in _corruptions(payload, rng, 40, 10):
+            kind, text, spans, status = extract_office(corrupt)
+            assert status in ("success", "partial_success", "failure",
+                              "skipped")
+            if status == "failure":
+                assert text is None and spans is None

@@ -107,6 +107,9 @@ class TestOperators:
         for i in range(12):
             rows.append((i, f"c{i}", 0, "image", build_png(i), None))
         rows.append((100, "c", 0, "image", b"RIFF....WEBPvp8-ish", None))
+        from doc_parser_spark.sources.synth_webp import build_webp
+
+        rows.append((108, "c", 0, "image", build_webp(9), None))
         rows.append((106, "c", 0, "image", b"II*\x00 tiff-ish", None))
         rows.append((107, "c", 0, "image", build_tiff(9), None))
         rows.append((101, "c", 0, "image", None, None))
@@ -131,7 +134,16 @@ class TestOperators:
             assert r["decode_status"] == "decoded"
             assert (r["width"], r["height"]) == (16 + i % 32, 8 + i % 16)
             assert r["mean_luma"] == pytest.approx((i % 256) / 255.0, abs=1e-6)
-        assert out[100]["decode_status"] == "stub_decoded"  # WebP → stub seam
+        assert out[100]["decode_status"] == "failure"  # broken WebP is a
+        # failure now that the real VP8L decoder owns the magic, never a stub
+        r = out[108]  # real lossless WebP decodes for real
+        import numpy as _np8
+        exp_w = _np8.fromfunction(
+            lambda y, x: (9 + 3 * y + 7 * x) % 256, (12 + 9 % 7, 16 + 9 % 5)
+        ).mean() / 255.0
+        assert r["decode_status"] == "decoded"
+        assert (r["width"], r["height"]) == (16 + 9 % 5, 12 + 9 % 7)
+        assert r["mean_luma"] == pytest.approx(exp_w, abs=1e-6)
         assert out[106]["decode_status"] == "failure"  # broken TIFF is a
         # failure now that the real decoder owns the magic, never a stub
         r = out[107]  # real TIFF decodes for real

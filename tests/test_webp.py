@@ -1,0 +1,193 @@
+"""VP8L (lossless WebP) decoder tests: encode/decode roundtrip fuzz over
+every bitstream feature, independent hand-computed vectors for the
+predictor/color-transform arithmetic (the float-portability rule: a bug
+copied to both sides of a roundtrip still roundtrips — values must be
+pinned by hand), the reference's own lossy fixture (header path), and the
+m8 closed-form builder.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from doc_parser_spark.functions.media_decode import (
+    MediaDecodeError,
+    decode_webp,
+    is_webp,
+)
+from doc_parser_spark.functions.vp8l import (
+    _cas_half,
+    _ct_delta,
+    _pack,
+    _predict,
+    decode_vp8l,
+)
+from doc_parser_spark.sources.synth_webp import (
+    build_webp,
+    encode_vp8l,
+    encode_webp,
+)
+
+REF_WEBP = Path("/root/reference/tests/data/webp/webp-test.webp")
+
+
+def _rand_img(rng, h, w):
+    return (
+        np.uint32(0xFF000000)
+        | rng.integers(0, 2**24, (h, w), dtype=np.int64).astype(np.uint32)
+    )
+
+
+class TestRoundtrip:
+    def test_feature_matrix(self):
+        rng = np.random.default_rng(11)
+        feature_sets = [
+            dict(),
+            dict(subtract_green=True),
+            dict(cache_bits=2),
+            dict(cache_bits=8),
+            dict(use_lz77=True),
+            dict(meta_bits=2),
+            dict(meta_bits=4, cache_bits=3),
+            dict(subtract_green=True, cache_bits=4, use_lz77=True),
+            dict(meta_bits=2, subtract_green=True, use_lz77=True,
+                 cache_bits=5),
+        ]
+        for kw in feature_sets:
+            for h, w in [(1, 1), (1, 9), (7, 1), (6, 11), (16, 16)]:
+                img = _rand_img(rng, h, w)
+                out = decode_vp8l(encode_vp8l(img, **kw))
+                assert (out == img).all(), (kw, h, w)
+
+    def test_lz77_heavy_image(self):
+        # vertical and horizontal runs → both distance-map and plain refs
+        img = np.full((20, 30), 0xFF102030, dtype=np.uint32)
+        img[5:9] = 0xFF405060
+        img[:, 7] = 0xFFAABBCC
+        for kw in [dict(use_lz77=True), dict(use_lz77=True, cache_bits=6),
+                   dict(use_lz77=True, meta_bits=3)]:
+            out = decode_vp8l(encode_vp8l(img, **kw))
+            assert (out == img).all(), kw
+
+    @pytest.mark.parametrize("mode", range(14))
+    def test_predictor_modes(self, mode):
+        rng = np.random.default_rng(100 + mode)
+        img = _rand_img(rng, 9, 13)
+        out = decode_vp8l(encode_vp8l(img, predictor=(2, mode)))
+        assert (out == img).all()
+
+    @pytest.mark.parametrize("cte", [(0, 0, 0), (16, 240, 8), (255, 1, 128),
+                                     (127, 129, 64)])
+    def test_color_transform(self, cte):
+        rng = np.random.default_rng(sum(cte))
+        img = _rand_img(rng, 8, 8)
+        out = decode_vp8l(encode_vp8l(img, color_transform=(3, cte)))
+        assert (out == img).all()
+
+    @pytest.mark.parametrize("ncol", [1, 2, 3, 4, 9, 16, 17, 200, 256])
+    def test_palette_bundling(self, ncol):
+        rng = np.random.default_rng(ncol)
+        pal = (np.uint32(0xFF000000)
+               | rng.integers(0, 2**24, ncol, dtype=np.int64).astype(np.uint32))
+        # widths around the bundle boundaries (8/4/2 pixels per byte)
+        for w in (1, 5, 8, 13):
+            img = pal[rng.integers(0, ncol, (6, w))]
+            out = decode_vp8l(encode_vp8l(img, palette=True))
+            assert (out == img).all(), (ncol, w)
+
+    def test_alpha_channel_roundtrip(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 2**32, (5, 5), dtype=np.int64).astype(np.uint32)
+        out = decode_vp8l(encode_vp8l(img))
+        assert (out == img).all()
+
+    def test_stacked_transforms(self):
+        rng = np.random.default_rng(77)
+        img = _rand_img(rng, 10, 10)
+        out = decode_vp8l(encode_vp8l(
+            img, predictor=(2, 11), color_transform=(2, (5, 250, 3)),
+            subtract_green=True, cache_bits=3, use_lz77=True,
+        ))
+        assert (out == img).all()
+
+
+class TestHandVectors:
+    """Independent hand arithmetic — not derived from the implementation."""
+
+    def test_color_transform_delta(self):
+        # signed 3.5 fixed point with arithmetic shift
+        assert _ct_delta(16, 100) == 50      # 16*100 = 1600; 1600 >> 5 = 50
+        assert _ct_delta(240, 100) == -50    # -16*100 = -1600; floor/32 = -50
+        assert _ct_delta(255, 255) == 0      # (-1)*(-1) = 1; 1 >> 5 = 0
+        assert _ct_delta(128, 2) == -8       # -128*2 = -256; -256 >> 5 = -8
+
+    def test_clamp_add_subtract_full(self):
+        L = _pack(255, 10, 20, 30)
+        T = _pack(255, 250, 20, 5)
+        TL = _pack(255, 255, 0, 10)
+        # per channel: 255, 5, 40, 25
+        assert _predict(12, L, T, TL, 0) == _pack(255, 5, 40, 25)
+        # clamping: 10 + 250 - 5 = 255 (no clamp), 10 + 250 - 0 = 260 → 255
+        assert _predict(12, _pack(0, 10, 0, 0), _pack(0, 250, 0, 0),
+                        _pack(0, 0, 0, 0), 0) == _pack(0, 255, 0, 0)
+        assert _predict(12, _pack(0, 0, 5, 0), _pack(0, 0, 3, 0),
+                        _pack(0, 0, 200, 0), 0) == _pack(0, 0, 0, 0)
+
+    def test_cas_half_truncates_toward_zero(self):
+        assert _cas_half(10, 4) == 13    # 10 + (10-4)/2 = 13
+        assert _cas_half(4, 10) == 1     # 4 + (4-10)/2 = 4 + (-3) = 1
+        assert _cas_half(5, 10) == 3     # (5-10)/2 = -2.5 → -2 (trunc), 5-2=3
+        assert _cas_half(0, 255) == 0    # clamped at 0
+        assert _cas_half(255, 0) == 255  # clamped at 255
+
+    def test_average2_floor(self):
+        # mode 7 = Average2(L, T) per channel, floor division
+        assert _predict(7, _pack(0, 3, 0, 0), _pack(0, 4, 0, 0), 0, 0) == \
+            _pack(0, 3, 0, 0)
+
+
+class TestContainer:
+    def test_encode_webp_roundtrips_through_decode_webp(self):
+        img = np.full((4, 6), 0xFF808080, dtype=np.uint32)
+        payload = encode_webp(img)
+        assert is_webp(payload)
+        w, h, luma, status = decode_webp(payload)
+        assert (w, h, status) == (6, 4, "decoded")
+        assert luma == pytest.approx(128 / 255.0, abs=1e-9)
+
+    def test_reference_lossy_fixture_header_path(self):
+        """The reference's own webp fixture is a lossy VP8 keyframe: real
+        dims (pinned by its docling_v2 groundtruth: size 2000.0 x 2829.0),
+        null luma, honest 'header_only' status."""
+        w, h, luma, status = decode_webp(REF_WEBP.read_bytes())
+        assert (w, h) == (2000, 2829)
+        assert luma is None
+        assert status == "header_only"
+
+    def test_build_webp_closed_form(self):
+        for doc_id in (0, 1, 6, 34, 1009):
+            w_exp = 16 + doc_id % 5
+            h_exp = 12 + doc_id % 7
+            x = np.arange(w_exp).reshape(1, w_exp)
+            y = np.arange(h_exp).reshape(h_exp, 1)
+            v = (doc_id + 3 * y + 7 * x) % 256
+            w, h, luma, status = decode_webp(build_webp(doc_id))
+            assert (w, h, status) == (w_exp, h_exp, "decoded")
+            assert round(luma, 4) == round(float(v.mean() / 255.0), 4)
+
+    def test_not_webp_raises(self):
+        with pytest.raises(MediaDecodeError):
+            decode_webp(b"RIFF\x00\x00\x00\x00AVI ")
+        with pytest.raises(MediaDecodeError):
+            decode_webp(b"")
+
+    def test_dispatcher_routes_webp(self):
+        from doc_parser_spark.operators.multimodal import _stdlib_decode_image
+
+        w, h, luma, status = _stdlib_decode_image(build_webp(3))
+        assert status == "decoded" and (w, h) == (19, 15)
+        w, h, luma, status = _stdlib_decode_image(REF_WEBP.read_bytes())
+        assert status == "header_only" and (w, h) == (2000, 2829)
