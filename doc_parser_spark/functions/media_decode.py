@@ -285,6 +285,95 @@ def decode_wav(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2 audio) frame-header walk — metadata only.  The reference's
+# ASR fixture is tests/data/audio/sample_10s.mp3; ASR itself is NN/out of
+# scope and PCM decode needs a real codec (hybrid filterbank + IMDCT), so
+# like lossy-VP8 WebP this surfaces exact header-derived facts (channels,
+# sample rate, frame count, duration, bitrate, CBR/VBR) under an honest
+# 'header_only' status.
+# ---------------------------------------------------------------------------
+
+# bitrate kbps by [version_key][bitrate_index]; Layer III only
+_MP3_BITRATES = {
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}  # version bits → rates
+
+
+def _mp3_skip_id3(payload: bytes) -> int:
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        return 10 + size
+    return 0
+
+
+@_untrusted
+def parse_mp3_meta(payload: bytes) -> dict:
+    """MP3 bytes → channels / sample_rate / n_frames / duration_s /
+    bitrate_kbps (mean) / vbr, by walking every frame header."""
+    pos = _mp3_skip_id3(payload)
+    n = len(payload)
+    n_frames = 0
+    sample_rate = None
+    channels = None
+    bitrates: set[int] = set()
+    total_kbps = 0
+    samples_per_frame = 1152
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            # resync: tags/garbage between frames (common in the wild)
+            pos += 1
+            continue
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (b1 >> 1) & 3    # 1 = Layer III
+        if version == 1 or layer != 1:
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3
+        rate = _MP3_RATES[version][sr_idx]
+        kbps = _MP3_BITRATES[1 if version == 3 else 2][br_idx]
+        spf = 1152 if version == 3 else 576
+        frame_len = (spf // 8) * kbps * 1000 // rate + padding
+        if frame_len < 4 or pos + frame_len > n:
+            break  # truncated final frame
+        if sample_rate is None:
+            sample_rate = rate
+            channels = 1 if mode == 3 else 2
+            samples_per_frame = spf
+        n_frames += 1
+        bitrates.add(kbps)
+        total_kbps += kbps
+        pos += frame_len
+    if not n_frames:
+        raise MediaDecodeError("no MP3 frames")
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames * samples_per_frame / sample_rate,
+        "bitrate_kbps": total_kbps / n_frames,
+        "vbr": len(bitrates) > 1,
+    }
+
+
+def is_mp3(payload: bytes) -> bool:
+    if payload[:3] == b"ID3":
+        return True
+    return (len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE6) == 0xE2)  # sync + layer III
+
+
+# ---------------------------------------------------------------------------
 # MP4 (ISO-BMFF) metadata
 # ---------------------------------------------------------------------------
 @_untrusted

@@ -208,15 +208,20 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """REAL audio feature extraction for RIFF/PCM WAV on the stdlib
     (functions/media_decode.py::decode_wav): channels / rate / frames /
-    duration + full-scale-normalized RMS and peak. Non-WAV or corrupt
-    payloads land status='failure' with null features — no stub fallback
-    (compressed audio needs ffmpeg; that stays out honestly).
+    duration + full-scale-normalized RMS and peak. MP3 walks every frame
+    header for exact channels / rate / frame count / duration under an
+    honest 'header_only' status with null RMS/peak (PCM decode is
+    codec-bound — hybrid filterbank + IMDCT — same seam policy as
+    lossy-VP8 WebP). Other/corrupt payloads land status='failure' with
+    null features — no stub fallback.
 
     Same scale shape as decode_images: runs on the scan partitions, binary
     never shuffles, sub-batched to bound per-task memory."""
     from doc_parser_spark.functions.media_decode import (
         MediaDecodeError,
         decode_wav,
+        is_mp3,
+        parse_mp3_meta,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,12 +238,22 @@ def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                         rows.append((int(media_id),) + (None,) * 6 + ("skipped",))
                         continue
                     try:
-                        f = decode_wav(bytes(payload))
-                        rows.append(
-                            (int(media_id), f["channels"], f["sample_rate"],
-                             f["n_frames"], f["duration_s"], f["rms"],
-                             f["peak"], "decoded")
-                        )
+                        raw = bytes(payload)
+                        if is_mp3(raw):
+                            f = parse_mp3_meta(raw)
+                            rows.append(
+                                (int(media_id), f["channels"],
+                                 f["sample_rate"], f["n_frames"],
+                                 f["duration_s"], None, None, "header_only")
+                            )
+                        else:
+                            f = decode_wav(raw)
+                            rows.append(
+                                (int(media_id), f["channels"],
+                                 f["sample_rate"], f["n_frames"],
+                                 f["duration_s"], f["rms"], f["peak"],
+                                 "decoded")
+                            )
                     except MediaDecodeError:
                         rows.append((int(media_id),) + (None,) * 6 + ("failure",))
                 yield pd.DataFrame(rows, columns=cols).astype(

@@ -3881,6 +3881,30 @@ ORACLES["m8_webp_decode"] = ORACLE_M8_WEBP
 
 
 # ===========================================================================
+# batch 28c — MP3 frame-header walk (exact channels / rate / frame count /
+# duration from every frame header; honest 'header_only' status with null
+# RMS — PCM decode is codec-bound, same seam policy as lossy-VP8 WebP.
+# duration = nf * 1152 / 48000 = nf * 0.024 exactly 3 decimals, so the
+# 4-dp round has no cross-engine halfway hazard)
+# ===========================================================================
+q_m9_mp3_meta = _media_query("audio", "build_mp3", _q_m2)
+
+ORACLE_M9_MP3 = """
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)::INT AS channels,
+       48000::INT AS sample_rate,
+       (20 + doc_id % 30)::BIGINT AS n_frames,
+       round((20 + doc_id % 30) * 1152 / 48000.0, 4) AS duration_s,
+       NULL::DOUBLE AS rms,
+       'header_only' AS decode_status
+FROM documents
+"""
+
+QUERIES["m9_mp3_meta"] = q_m9_mp3_meta
+ORACLES["m9_mp3_meta"] = ORACLE_M9_MP3
+
+
+# ===========================================================================
 # batch 29 — substring-level exact dedup (Lee et al. 2022 family: token
 # spans whose every k-gram repeats corpus-wide, merged per doc) + the
 # per-doc duplicated-token fraction signal

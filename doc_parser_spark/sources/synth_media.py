@@ -531,6 +531,26 @@ def build_avi(doc_id: int) -> bytes:
     return encode_avi_mjpeg(frames, 24, 16)
 
 
+def build_mp3(doc_id: int) -> bytes:
+    """Deterministic MPEG-1 Layer III stream for the m9 header-walk oracle:
+    ID3v2 tag + ``20 + doc_id % 30`` CBR frames at 128 kbps / 48 kHz (frame
+    length exactly 144 * 128000 / 48000 = 384 bytes, no padding), mono for
+    even ids / stereo for odd. Frame payloads are deterministic junk — the
+    header walk never decodes PCM (status 'header_only')."""
+    nf = 20 + doc_id % 30
+    mono = doc_id % 2 == 0
+    tag_body = b"synthetic" + bytes([doc_id % 251])
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [0, 0, (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+    ) + tag_body
+    header = bytes([0xFF, 0xFB, 0x94, 0xC0 if mono else 0x00])
+    frames = bytearray()
+    for k in range(nf):
+        frames += header
+        frames += bytes(((doc_id * 31 + k * 7 + i) % 256) for i in range(380))
+    return id3 + bytes(frames)
+
+
 # WebP builder lives in its own module (the VP8L encoder is sizeable);
 # re-exported here so _media_query-style getattr dispatch finds it
 from doc_parser_spark.sources.synth_webp import build_webp  # noqa: E402,F401

@@ -440,3 +440,64 @@ class TestAviMjpeg:
         assert all(r["decode_status"] == "stub_decoded" for r in by_id[1])
         assert [r["decode_status"] for r in by_id[2]] == ["failure"]
         assert [r["decode_status"] for r in by_id[3]] == ["skipped"]
+
+
+class TestMp3:
+    def test_reference_fixture_header_walk(self):
+        """sample_10s.mp3 (the reference's ASR fixture): the frame walk
+        must report exactly what the filename and encoder promise — ~10 s
+        of 128 kbps CBR mono at 44.1 kHz."""
+        from pathlib import Path
+
+        from doc_parser_spark.functions.media_decode import parse_mp3_meta
+
+        d = Path("/root/reference/tests/data/audio/sample_10s.mp3").read_bytes()
+        m = parse_mp3_meta(d)
+        assert m["channels"] == 1
+        assert m["sample_rate"] == 44100
+        assert m["bitrate_kbps"] == 128.0
+        assert m["vbr"] is False
+        # 384 frames * 1152 samples / 44100 Hz = 10.031 s
+        assert m["n_frames"] == 384
+        assert m["duration_s"] == pytest.approx(384 * 1152 / 44100, abs=1e-9)
+
+    def test_synth_builder_closed_form(self):
+        from doc_parser_spark.functions.media_decode import (
+            is_mp3,
+            parse_mp3_meta,
+        )
+        from doc_parser_spark.sources.synth_media import build_mp3
+
+        for doc_id in (0, 1, 17, 29, 59):
+            d = build_mp3(doc_id)
+            assert is_mp3(d)
+            m = parse_mp3_meta(d)
+            assert m["n_frames"] == 20 + doc_id % 30
+            assert m["channels"] == (1 if doc_id % 2 == 0 else 2)
+            assert m["duration_s"] == pytest.approx(
+                (20 + doc_id % 30) * 1152 / 48000, abs=1e-12
+            )
+
+    def test_not_mp3_raises(self):
+        from doc_parser_spark.functions.media_decode import parse_mp3_meta
+
+        with pytest.raises(MediaDecodeError):
+            parse_mp3_meta(b"\x00" * 64)
+        with pytest.raises(MediaDecodeError):
+            parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x05hello")
+
+    def test_operator_routes_mp3_header_only(self, spark):
+        from doc_parser_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_features,
+        )
+        from doc_parser_spark.sources.synth_media import build_mp3
+
+        media = spark.createDataFrame(
+            [(0, "c", 0, "audio", build_mp3(4), None)], schema=MEDIA_SCHEMA
+        )
+        r = audio_features(media).collect()[0]
+        assert r["decode_status"] == "header_only"
+        assert r["channels"] == 1 and r["sample_rate"] == 48000
+        assert r["n_frames"] == 24
+        assert r["rms"] is None and r["peak"] is None
