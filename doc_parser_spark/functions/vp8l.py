@@ -262,7 +262,6 @@ def _plane_distance(code: int, xsize: int) -> int:
 # entropy-coded image (the workhorse: literals + cache + LZ77)
 # ---------------------------------------------------------------------------
 
-_GROUP_ALPHABETS = (None, 256, 256, 256, 40)  # [0] filled per cache size
 _CACHE_MULT = 0x1E35A7BD
 
 

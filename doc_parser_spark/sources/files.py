@@ -43,6 +43,17 @@ from doc_parser_spark.datamodel import (
     STATUS_SUCCESS,
 )
 
+# the binaryFile source's fixed schema — needed explicitly for readStream
+# (streaming file sources refuse inference)
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
 CONVERTED_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType(), False),
@@ -171,6 +182,18 @@ def read_documents_dir(
     content). ``glob`` pushes down as pathGlobFilter, so non-matching
     files are pruned at the listing, not read."""
     reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.option("recursiveFileLookup", "true").load(path)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Streaming twin of ``read_documents_dir``: new files arriving under
+    ``path`` become micro-batches (the continuous-ingestion shape);
+    ``convert_files`` composes unchanged on the result."""
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.option("recursiveFileLookup", "true").load(path)

@@ -129,3 +129,36 @@ class TestConvertDirectory:
         df = convert_directory(spark, str(doc_dir))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # bytes extract on scan partitions
+
+
+class TestStreamingIngestion:
+    def test_convert_files_composes_over_readstream(self, spark, doc_dir,
+                                                    tmp_path):
+        """Continuous directory ingestion: the SAME convert_files operator
+        runs unchanged on a binaryFile readStream (file discovery = the
+        micro-batch source), proving the batch/streaming parity the
+        curation layer already has."""
+        from doc_parser_spark.sources.files import (
+            CONVERTED_SCHEMA,
+            read_documents_stream,
+        )
+
+        stream = read_documents_stream(spark, str(doc_dir))
+        out = convert_files(stream)
+        assert out.isStreaming
+        assert out.schema == CONVERTED_SCHEMA
+        sink = tmp_path / "sink"
+        ckpt = tmp_path / "ckpt"
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(str(sink)).collect()
+        assert len(rows) == 16
+        by_name = {Path(r["path"]).name: r for r in rows}
+        assert by_name["report.docx"]["parse_status"] == "success"
+        assert by_name["img.png"]["kind"] == "image"
