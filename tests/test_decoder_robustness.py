@@ -229,3 +229,90 @@ def test_office_envelope_never_raises():
                               "skipped")
             if status == "failure":
                 assert text is None and spans is None
+
+
+# --- PDF content-stream interpreter (structure-aware fuzz) -----------------
+#
+# Bit flips in the compressed file mostly die in zlib before reaching the
+# content-stream interpreter; this fuzz feeds the interpreter directly —
+# a structurally VALID pdf whose page content is hostile: real operators
+# with garbage operands, truncated ops, raw bytes — so the operand-
+# confusion envelope (run()'s per-op catch + untrusted_pdf) is what's
+# actually exercised.
+
+def _wrap_content(stream: bytes) -> bytes:
+    """Minimal single-page PDF with an UNCOMPRESSED content stream."""
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+_PDF_OPS = [b"q", b"Q", b"cm", b"BT", b"ET", b"Tf", b"Tc", b"Tw", b"Tz",
+            b"TL", b"Ts", b"Tr", b"Td", b"TD", b"Tm", b"T*", b"Tj", b"'",
+            b'"', b"TJ", b"Do", b"BI", b"EI", b"gs", b"re", b"f", b"W", b"n"]
+_PDF_OPERANDS = [b"1", b"-3.5", b"0", b"99999999", b"(text)", b"<48656c>",
+                 b"/F1", b"/Nope", b"[(a) -120 (b)]", b"[]", b"<< /A 1 >>",
+                 b"(unclosed", b"null", b"true", b"1e9", b"(\\370\\termo)",
+                 b"[1 2", b"%comment\n", b"\x00\x01\x02", b"/F1 12"]
+
+
+def test_pdf_content_stream_interpreter_fuzz():
+    rng = random.Random(0x5EED)
+    for it in range(300):
+        n_tok = rng.randrange(0, 30)
+        parts = []
+        for _ in range(n_tok):
+            if rng.random() < 0.55:
+                parts.append(rng.choice(_PDF_OPERANDS))
+            else:
+                parts.append(rng.choice(_PDF_OPS))
+        stream = b" ".join(parts)
+        if rng.random() < 0.25:  # splice raw garbage
+            stream += bytes(rng.randrange(256) for _ in range(16))
+        try:
+            decode_pdf_pages(_wrap_content(stream))
+        except PdfError:
+            pass
+
+
+def test_pdf_tounicode_cmap_fuzz():
+    """Font CMap parsing on hostile bytes: parse_tounicode is reachable
+    with arbitrary decompressed stream content."""
+    from doc_parser_spark.functions.pdf_decode import parse_tounicode
+
+    rng = random.Random(0xCA9)
+    shards = [b"begincmap", b"endcmap", b"beginbfchar", b"endbfchar",
+              b"beginbfrange", b"endbfrange", b"<0041>", b"<00410042>",
+              b"<zz>", b"<>", b"[", b"]", b"(str)", b"1 2", b"\xff\xfe",
+              b"<D800>", b"<0041> <0042>", b"endcodespacerange"]
+    for it in range(300):
+        payload = b" ".join(
+            rng.choice(shards) for _ in range(rng.randrange(0, 20))
+        )
+        try:
+            out = parse_tounicode(payload)
+            assert isinstance(out, dict)
+        except (ValueError, KeyError, IndexError):
+            pass

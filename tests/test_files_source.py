@@ -43,6 +43,17 @@ def doc_dir(tmp_path_factory):
     (d / "junk.bin").write_bytes(bytes(range(256)) * 4)
     (d / "sub").mkdir()
     (d / "sub" / "nested.txt").write_text("plain nested text file\n")
+    # the reference's OWN fixtures, dropped in as files a user would convert
+    ref = Path("/root/reference/tests/data")
+    (d / "article.nxml").write_bytes(
+        (ref / "jats" / "elife-56337.nxml").read_bytes()
+    )
+    (d / "patent.xml").write_bytes(
+        (ref / "uspto" / "ipa20200022300.xml").read_bytes()
+    )
+    (d / "guide.asciidoc").write_bytes(
+        (ref / "asciidoc" / "test_01.asciidoc").read_bytes()
+    )
     return d
 
 
@@ -54,7 +65,7 @@ def converted(spark, doc_dir):
 
 class TestConvertDirectory:
     def test_every_file_has_exactly_one_row(self, converted, doc_dir):
-        assert len(converted) == 16
+        assert len(converted) == 19
 
     @pytest.mark.parametrize("name,ct", [
         ("report.docx", "docx"), ("sheet.xlsx", "xlsx"),
@@ -88,6 +99,8 @@ class TestConvertDirectory:
     @pytest.mark.parametrize("name,ct", [
         ("page.html", "html"), ("notes.md", "markdown"),
         ("table.csv", "csv"), ("nested.txt", "plain"),
+        ("article.nxml", "jats"), ("patent.xml", "uspto"),
+        ("guide.asciidoc", "asciidoc"),
     ])
     def test_text_formats_route_through_transcript_router(
         self, converted, name, ct
@@ -158,7 +171,7 @@ class TestStreamingIngestion:
         )
         q.awaitTermination(120)
         rows = spark.read.parquet(str(sink)).collect()
-        assert len(rows) == 16
+        assert len(rows) == 19
         by_name = {Path(r["path"]).name: r for r in rows}
         assert by_name["report.docx"]["parse_status"] == "success"
         assert by_name["img.png"]["kind"] == "image"
