@@ -459,51 +459,107 @@ def _idct_basis() -> np.ndarray:
     return _IDCT_A
 
 
-def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, per T.81 Annex C code assignment."""
+def _build_huffman(bits: list[int], vals: bytes):
+    """(fast 8-bit LUT, full (length, code) → symbol dict) per T.81 Annex C
+    code assignment — the libjpeg two-level shape: one table index resolves
+    any code of ≤8 bits (the common case), longer codes take the walk."""
     table = {}
+    fast = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            if length <= 8:
+                entry = (vals[k], length)
+                base = code << (8 - length)
+                for i in range(1 << (8 - length)):
+                    fast[base + i] = entry
             k += 1
             code += 1
         code <<= 1
-    return table
+    return fast, table
 
 
 class _JpegBits:
-    """MSB-first bit reader over one entropy-coded segment."""
+    """MSB-first buffered bit reader over one entropy-coded segment.
+    Reads past end-of-stream yield zero bits (spec behaviour on
+    truncation, Annex F)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.buf = 0
+        self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                return 0  # pad past EOS, per spec behaviour on truncation
-            self.buf = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.buf >> self.nbits) & 1
-
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                # EOS: remaining buffered bits then zero padding
+                v = (self.acc << (n - self.nbits)) & ((1 << n) - 1)
+                self.acc = 0
+                self.nbits = 0
+                return v
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+    def _peek(self, n: int) -> int:
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        return (self.acc << (n - self.nbits)) & ((1 << n) - 1)
+
+    def _consume(self, n: int) -> None:
+        if n >= self.nbits:
+            self.acc = 0
+            self.nbits = 0
+        else:
+            self.nbits -= n
+            self.acc &= (1 << self.nbits) - 1
+
+    def read_symbol(self, table) -> int:
+        # the fast path is fully inlined: one buffered peek, one LUT index
+        fast, full = table
+        acc = self.acc
+        nbits = self.nbits
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        while nbits < 16 and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        self.pos = pos
+        peek8 = (acc >> (nbits - 8)) if nbits >= 8 else (acc << (8 - nbits))
+        entry = fast[peek8 & 0xFF]
+        if entry is not None:
+            length = entry[1]
+            if length >= nbits:
+                self.acc = 0
+                self.nbits = 0
+            else:
+                nbits -= length
+                self.acc = acc & ((1 << nbits) - 1)
+                self.nbits = nbits
+            return entry[0]
+        self.acc = acc
+        self.nbits = nbits
+        for length in range(9, 17):
+            sym = full.get((length, self._peek(length)))
             if sym is not None:
+                self._consume(length)
                 return sym
         raise MediaDecodeError("bad Huffman code")
 
