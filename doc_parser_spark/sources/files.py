@@ -152,21 +152,30 @@ def convert_files(
     path_col: str = "path",
     content_col: str = "content",
     batch_rows: int = 16,
+    max_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """binaryFile rows → converted documents (CONVERTED_SCHEMA).
 
     Sub-batches to ``batch_rows`` so a directory of large files cannot
-    blow one task's memory (R1 batching analog)."""
+    blow one task's memory (R1 batching analog), and skips files over
+    ``max_bytes`` with a ``skipped`` row — the S2 InputDocument size limit
+    (reference document.py:116-206: over-limit inputs convert to a
+    failure envelope, never an attempt): one multi-GB stray on a 100-TB
+    crawl must cost one status row, not an executor OOM."""
     cols = [f.name for f in CONVERTED_SCHEMA.fields]
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 sub = pdf.iloc[lo : lo + batch_rows]
-                rows = [
-                    _convert_one(p, bytes(c) if c is not None else b"")
-                    for p, c in zip(sub[path_col], sub[content_col])
-                ]
+                rows = []
+                for p, c in zip(sub[path_col], sub[content_col]):
+                    payload = bytes(c) if c is not None else b""
+                    if len(payload) > max_bytes:
+                        rows.append((p, "binary", None, None, None,
+                                     STATUS_SKIPPED, len(payload), 0))
+                    else:
+                        rows.append(_convert_one(p, payload))
                 out = pd.DataFrame(rows, columns=cols)
                 yield out.astype({"n_bytes": "int64", "_proc_us": "int64"})
 

@@ -175,3 +175,25 @@ class TestStreamingIngestion:
         by_name = {Path(r["path"]).name: r for r in rows}
         assert by_name["report.docx"]["parse_status"] == "success"
         assert by_name["img.png"]["kind"] == "image"
+
+
+class TestSizeLimit:
+    def test_oversize_file_is_one_skipped_row(self, spark, tmp_path):
+        """S2 InputDocument size-limit analog: an over-limit file costs one
+        status row, never an extraction attempt (or an executor OOM at
+        scale)."""
+        d = tmp_path / "big"
+        d.mkdir()
+        (d / "huge.html").write_text("<html>" + "x" * 5000 + "</html>")
+        (d / "ok.html").write_text("<html><p>small</p></html>")
+        from doc_parser_spark.sources.files import read_documents_dir
+
+        out = convert_files(
+            read_documents_dir(spark, str(d)), max_bytes=1000
+        ).collect()
+        by_name = {Path(r["path"]).name: r for r in out}
+        big = by_name["huge.html"]
+        assert big["parse_status"] == "skipped"
+        assert big["extracted_text"] is None
+        assert big["n_bytes"] > 1000
+        assert by_name["ok.html"]["parse_status"] == "success"
