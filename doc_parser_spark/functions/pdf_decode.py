@@ -1253,30 +1253,62 @@ class ContentInterpreter:
         if len(glyphs) >= self.MAX_GLYPHS:
             return
         asc, desc = font.ascent, font.descent
-        for code, u, w1000 in font.decode(raw):
-            w0 = w1000 / 1000.0
-            trm = _mat_mul(
-                (ts.size * ts.hscale, 0.0, 0.0, ts.size, 0.0, ts.rise), ts.tm
-            )
-            m = _mat_mul(trm, ctm)
-            # glyph box in text space: (0, desc)..(w0, asc)
-            xa, ya = _mat_apply(m, 0.0, desc)
-            xb, yb = _mat_apply(m, w0, asc)
-            bx, by = _mat_apply(m, 0.0, 0.0)
-            size_dev = abs(m[3]) + abs(m[1])
-            tx = (
-                w0 * ts.size
-                + ts.char_sp
-                + (ts.word_sp if (code == 32 and not font.two_byte) else 0.0)
-            ) * ts.hscale
-            ts.tm = _mat_mul((1, 0, 0, 1, tx, 0.0), ts.tm)
-            if u:
-                glyphs.append(
-                    _Glyph(
-                        min(xa, xb), min(ya, yb), max(xa, xb), max(ya, yb),
-                        by, size_dev, u,
+        # the glyph loop is the kernel hot path: the full per-glyph
+        # trm = S×tm, m = trm×ctm mat-muls are hoisted by observing that
+        # only tm's translation (e, f) advances between glyphs — every
+        # surviving arithmetic expression below is the _mat_mul/_mat_apply
+        # term order with literal zero terms dropped, so results stay
+        # bit-identical to the naive form (parity suites pin this)
+        b0, b1, b2, b3, e, f = ts.tm
+        p = ts.size * ts.hscale
+        q = ts.size
+        r = ts.rise
+        t0 = p * b0
+        t1 = p * b1
+        t2 = q * b2
+        t3 = q * b3
+        c0, c1, c2, c3, c4, c5 = ctm
+        m0 = t0 * c0 + t1 * c2
+        m1 = t0 * c1 + t1 * c3
+        m2 = t2 * c0 + t3 * c2
+        m3 = t2 * c1 + t3 * c3
+        size_dev = abs(m3) + abs(m1)
+        rb2 = r * b2
+        rb3 = r * b3
+        char_sp = ts.char_sp
+        word_sp = ts.word_sp
+        hscale = ts.hscale
+        size = ts.size
+        two_byte = font.two_byte
+        try:
+            for code, u, w1000 in font.decode(raw):
+                w0 = w1000 / 1000.0
+                tr4 = rb2 + e
+                tr5 = rb3 + f
+                m4 = tr4 * c0 + tr5 * c2 + c4
+                m5 = tr4 * c1 + tr5 * c3 + c5
+                # glyph box in text space: (0, desc)..(w0, asc)
+                xa = desc * m2 + m4
+                ya = desc * m3 + m5
+                xb = w0 * m0 + asc * m2 + m4
+                yb = w0 * m1 + asc * m3 + m5
+                by = m5
+                tx = (
+                    w0 * size
+                    + char_sp
+                    + (word_sp if (code == 32 and not two_byte) else 0.0)
+                ) * hscale
+                e = tx * b0 + e
+                f = tx * b1 + f
+                if u:
+                    glyphs.append(
+                        _Glyph(
+                            min(xa, xb), min(ya, yb), max(xa, xb),
+                            max(ya, yb), by, size_dev, u,
+                        )
                     )
-                )
+        finally:
+            ts.tm = (b0, b1, b2, b3, e, f)
 
 
 # ---------------------------------------------------------------------------
