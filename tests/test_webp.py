@@ -191,3 +191,54 @@ class TestContainer:
         assert status == "decoded" and (w, h) == (19, 15)
         w, h, luma, status = _stdlib_decode_image(REF_WEBP.read_bytes())
         assert status == "header_only" and (w, h) == (2000, 2829)
+
+
+class TestHypothesisRoundtrip:
+    """Property form of the roundtrip: hypothesis owns the image AND the
+    feature combination, so a failing case shrinks to a minimal image."""
+
+    @staticmethod
+    def _roundtrip(img, **kw):
+        out = decode_vp8l(encode_vp8l(img, **kw))
+        assert (out == img).all(), kw
+
+    def test_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            st.integers(1, 10), st.integers(1, 10), st.randoms(),
+            st.booleans(), st.sampled_from([0, 2, 6, 11]), st.booleans(),
+            st.sampled_from([None, 2, 4]),
+        )
+        def prop(h, w, rnd, subtract_green, cache_bits, use_lz77, meta_bits):
+            img = np.array(
+                [[0xFF000000 | rnd.getrandbits(24) for _ in range(w)]
+                 for _ in range(h)],
+                dtype=np.uint32,
+            )
+            self._roundtrip(
+                img, subtract_green=subtract_green, cache_bits=cache_bits,
+                use_lz77=use_lz77, meta_bits=meta_bits,
+            )
+
+        prop()
+
+    def test_property_with_alpha_and_transforms(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.integers(1, 8), st.integers(1, 8), st.randoms(),
+               st.integers(0, 13), st.booleans())
+        def prop(h, w, rnd, mode, full_alpha):
+            img = np.array(
+                [[((0xFF000000 if full_alpha else
+                    rnd.getrandbits(8) << 24) | rnd.getrandbits(24))
+                  for _ in range(w)] for _ in range(h)],
+                dtype=np.uint32,
+            )
+            self._roundtrip(img, predictor=(2, mode))
+
+        prop()
