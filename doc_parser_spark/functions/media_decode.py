@@ -350,6 +350,13 @@ def parse_mp3_meta(payload: bytes) -> dict:
             sample_rate = rate
             channels = 1 if mode == 3 else 2
             samples_per_frame = spf
+            # a leading Xing/Info/VBRI frame is an encoder TAG, not audio —
+            # real decoders exclude it from the frame count and duration
+            # (its tag lands right after the side info, within ~40 bytes)
+            head = payload[pos + 4 : pos + 44]
+            if b"Xing" in head or b"Info" in head or b"VBRI" in head:
+                pos += frame_len
+                continue
         n_frames += 1
         bitrates.add(kbps)
         total_kbps += kbps

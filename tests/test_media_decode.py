@@ -457,9 +457,11 @@ class TestMp3:
         assert m["sample_rate"] == 44100
         assert m["bitrate_kbps"] == 128.0
         assert m["vbr"] is False
-        # 384 frames * 1152 samples / 44100 Hz = 10.031 s
-        assert m["n_frames"] == 384
-        assert m["duration_s"] == pytest.approx(384 * 1152 / 44100, abs=1e-9)
+        # 384 physical frames, the first being a LAME "Info" tag frame
+        # (not audio): 383 * 1152 samples / 44100 Hz = 10.005 s — what a
+        # real decoder reports for this file
+        assert m["n_frames"] == 383
+        assert m["duration_s"] == pytest.approx(383 * 1152 / 44100, abs=1e-9)
 
     def test_synth_builder_closed_form(self):
         from doc_parser_spark.functions.media_decode import (
