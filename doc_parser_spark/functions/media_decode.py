@@ -1012,6 +1012,23 @@ def _vp8_frame_dims(body: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _decode_vp8l_chunk(body: bytes) -> tuple[int, int, float, str]:
+    from doc_parser_spark.functions.vp8l import decode_vp8l
+
+    img = decode_vp8l(body)
+    h, w = img.shape
+    rgb = np.stack(
+        [
+            (img >> np.uint32(16)) & np.uint32(0xFF),
+            (img >> np.uint32(8)) & np.uint32(0xFF),
+            img & np.uint32(0xFF),
+        ],
+        axis=2,
+    ).astype(np.float64)
+    luma = rgb @ np.array([0.299, 0.587, 0.114])
+    return w, h, float(luma.mean() / 255.0), "decoded"
+
+
 @_untrusted
 def decode_webp(payload: bytes) -> tuple[int, int, Optional[float], str]:
     """WebP bytes → (width, height, mean_luma, status).
@@ -1019,31 +1036,37 @@ def decode_webp(payload: bytes) -> tuple[int, int, Optional[float], str]:
     VP8L (lossless) decodes fully → status 'decoded'; lossy VP8 yields real
     dimensions with a null luma → status 'header_only' (the honest seam:
     VP8 pixel decode is boolean-coder + DCT + loop filter — a codec
-    library's job). VP8X extended files are walked for their image chunk.
+    library's job). VP8X extended files: the FIRST frame decodes (an ANMF
+    animation frame's sub-chunks are walked too); a container with only
+    metadata/alpha chunks falls back to the VP8X canvas dimensions as
+    'header_only'.
     """
     if not is_webp(payload):
         raise MediaDecodeError("not a WebP")
+    canvas = None
     for fourcc, body in _webp_chunks(payload):
         if fourcc == b"VP8L":
-            from doc_parser_spark.functions.vp8l import decode_vp8l
-
-            img = decode_vp8l(body)
-            h, w = img.shape
-            rgb = np.stack(
-                [
-                    (img >> np.uint32(16)) & np.uint32(0xFF),
-                    (img >> np.uint32(8)) & np.uint32(0xFF),
-                    img & np.uint32(0xFF),
-                ],
-                axis=2,
-            ).astype(np.float64)
-            luma = rgb @ np.array([0.299, 0.587, 0.114])
-            return w, h, float(luma.mean() / 255.0), "decoded"
+            return _decode_vp8l_chunk(body)
         if fourcc == b"VP8 ":
             w, h = _vp8_frame_dims(body)
             _check_dims(w, h)
             return w, h, None, "header_only"
-        # VP8X and metadata chunks: keep walking to the image chunk
+        if fourcc == b"VP8X" and len(body) >= 10:
+            # 4 flag bytes, then 24-bit canvas width-1 / height-1 (LE)
+            cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            canvas = (cw, ch)
+        elif fourcc == b"ANMF" and len(body) > 16:
+            # frame header is 16 bytes; the frame's image chunks follow
+            inner = b"RIFF" + struct.pack("<I", 4 + len(body) - 16) + \
+                b"WEBP" + body[16:]
+            try:
+                return decode_webp(inner)
+            except MediaDecodeError:
+                pass  # malformed first frame: keep walking / fall back
+    if canvas is not None:
+        _check_dims(*canvas)
+        return canvas[0], canvas[1], None, "header_only"
     raise MediaDecodeError("no image chunk in WebP")
 
 

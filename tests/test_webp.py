@@ -242,3 +242,53 @@ class TestHypothesisRoundtrip:
             self._roundtrip(img, predictor=(2, mode))
 
         prop()
+
+
+class TestExtendedContainer:
+    """VP8X extended WebP: first ANMF frame decodes; metadata-only
+    containers fall back to canvas dims as header_only."""
+
+    @staticmethod
+    def _chunk(fourcc: bytes, body: bytes) -> bytes:
+        import struct
+        c = fourcc + struct.pack("<I", len(body)) + body
+        return c + (b"\x00" if len(body) % 2 else b"")
+
+    @classmethod
+    def _riff(cls, *chunks: bytes) -> bytes:
+        import struct
+        body = b"WEBP" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @staticmethod
+    def _vp8x(w: int, h: int, flags: int = 0) -> bytes:
+        return bytes([flags, 0, 0, 0,
+                      (w - 1) & 0xFF, ((w - 1) >> 8) & 0xFF, ((w - 1) >> 16) & 0xFF,
+                      (h - 1) & 0xFF, ((h - 1) >> 8) & 0xFF, ((h - 1) >> 16) & 0xFF])
+
+    def test_vp8x_with_vp8l_still_decodes(self):
+        import struct
+        img = np.full((3, 5), 0xFF404040, dtype=np.uint32)
+        vp8l_payload = encode_vp8l(img)
+        data = self._riff(self._chunk(b"VP8X", self._vp8x(5, 3)),
+                          self._chunk(b"VP8L", vp8l_payload))
+        w, h, luma, status = decode_webp(data)
+        assert (w, h, status) == (5, 3, "decoded")
+        assert luma == pytest.approx(0x40 / 255.0, abs=1e-9)
+
+    def test_animated_first_frame_decodes(self):
+        img = np.full((4, 4), 0xFF808080, dtype=np.uint32)
+        vp8l_payload = encode_vp8l(img)
+        anmf = bytes(16) + self._chunk(b"VP8L", vp8l_payload)
+        data = self._riff(self._chunk(b"VP8X", self._vp8x(4, 4, 0x02)),
+                          self._chunk(b"ANMF", anmf))
+        w, h, luma, status = decode_webp(data)
+        assert (w, h, status) == (4, 4, "decoded")
+        assert luma == pytest.approx(128 / 255.0, abs=1e-9)
+
+    def test_metadata_only_falls_back_to_canvas(self):
+        data = self._riff(self._chunk(b"VP8X", self._vp8x(640, 480, 0x04)),
+                          self._chunk(b"EXIF", b"\x00" * 8))
+        w, h, luma, status = decode_webp(data)
+        assert (w, h, status) == (640, 480, "header_only")
+        assert luma is None
