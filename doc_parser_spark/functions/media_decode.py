@@ -1030,7 +1030,9 @@ def _decode_vp8l_chunk(body: bytes) -> tuple[int, int, float, str]:
 
 
 @_untrusted
-def decode_webp(payload: bytes) -> tuple[int, int, Optional[float], str]:
+def decode_webp(
+    payload: bytes, _depth: int = 0
+) -> tuple[int, int, Optional[float], str]:
     """WebP bytes → (width, height, mean_luma, status).
 
     VP8L (lossless) decodes fully → status 'decoded'; lossy VP8 yields real
@@ -1056,12 +1058,15 @@ def decode_webp(payload: bytes) -> tuple[int, int, Optional[float], str]:
             cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
             ch = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
             canvas = (cw, ch)
-        elif fourcc == b"ANMF" and len(body) > 16:
-            # frame header is 16 bytes; the frame's image chunks follow
+        elif fourcc == b"ANMF" and len(body) > 16 and _depth < 4:
+            # frame header is 16 bytes; the frame's image chunks follow.
+            # _depth bounds crafted ANMF-in-ANMF nesting (~36 bytes/level
+            # otherwise walks a 40 KB file into a RecursionError, which
+            # deliberately bypasses the _untrusted envelope)
             inner = b"RIFF" + struct.pack("<I", 4 + len(body) - 16) + \
                 b"WEBP" + body[16:]
             try:
-                return decode_webp(inner)
+                return decode_webp(inner, _depth + 1)
             except MediaDecodeError:
                 pass  # malformed first frame: keep walking / fall back
     if canvas is not None:

@@ -292,3 +292,15 @@ class TestExtendedContainer:
         w, h, luma, status = decode_webp(data)
         assert (w, h, status) == (640, 480, "header_only")
         assert luma is None
+
+    def test_anmf_nesting_bomb_is_contained(self):
+        """A crafted ANMF-in-ANMF chain (~36 bytes/level) must terminate in
+        MediaDecodeError, never a RecursionError escaping the envelope."""
+        import struct
+
+        inner = self._chunk(b"EXIF", b"\x00" * 4)
+        for _ in range(3000):
+            inner = self._chunk(b"ANMF", bytes(16) + inner)
+        bomb = self._riff(inner)
+        with pytest.raises(MediaDecodeError):
+            decode_webp(bomb)
