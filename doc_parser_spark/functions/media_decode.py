@@ -51,6 +51,31 @@ def _check_dims(width: int, height: int) -> None:
         raise MediaDecodeError(f"implausible dimensions {width}x{height}")
 
 
+# CPU budget for decoders whose inner pixel loop is pure Python (JPEG
+# entropy decode, VP8L): the 100 MP memory cap above bounds allocation but
+# not wall-clock — a ~30-byte stream declaring 8192x8192 with degenerate
+# (zero-/one-bit) entropy codes would pin a core for minutes.  Real images
+# carry information: baseline JPEG spends >=2 Huffman bits per 8x8 block
+# (DC code + EOB), i.e. hard-bounded ~256 px/byte; VP8L's zero-bit
+# single-symbol codes break any information bound, so for it this is a
+# policy cap, not a theorem — a pathologically constant mega-image is
+# rejected as undecodable rather than decoded slowly.  The 1 MP floor
+# keeps every small image decodable regardless of compression ratio and
+# bounds the worst crafted input to ~1M loop iterations.
+_PYLOOP_PX_PER_BYTE = 512
+_PYLOOP_PX_FLOOR = 1 << 20
+
+
+def _check_cpu_budget(width: int, height: int, data_len: int,
+                      label: str) -> None:
+    budget = max(_PYLOOP_PX_FLOOR, _PYLOOP_PX_PER_BYTE * data_len)
+    if width * height > budget:
+        raise MediaDecodeError(
+            f"{label}: {width}x{height} exceeds the decode budget for a "
+            f"{data_len}-byte stream"
+        )
+
+
 # Exception types that signal MALFORMED DATA inside a decoder (truncated
 # buffer, bad huffman code, corrupt zlib stream, out-of-range index into a
 # parsed table).  Deliberately NOT Exception: programming-error types
@@ -316,12 +341,20 @@ def parse_mp3_meta(payload: bytes) -> dict:
     bitrate_kbps (mean) / vbr, by walking every frame header."""
     pos = _mp3_skip_id3(payload)
     n = len(payload)
+    from fractions import Fraction
+
     n_frames = 0
     sample_rate = None
     channels = None
     bitrates: set[int] = set()
+    params: set[tuple[int, int]] = set()  # (spf, rate) seen on counted frames
     total_kbps = 0
     samples_per_frame = 1152
+    # exact per-frame accumulation: a spliced stream that switches MPEG
+    # version / sample rate mid-file gets the true sum of spf_i/rate_i, not
+    # the first frame's parameters applied to every frame; Fraction keeps a
+    # constant-parameter stream bit-identical to n_frames*spf/rate
+    duration = Fraction(0)
     while pos + 4 <= n:
         b0, b1, b2, b3 = payload[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -359,6 +392,8 @@ def parse_mp3_meta(payload: bytes) -> dict:
                 continue
         n_frames += 1
         bitrates.add(kbps)
+        params.add((spf, rate))
+        duration += Fraction(spf, rate)
         total_kbps += kbps
         pos += frame_len
     if not n_frames:
@@ -367,9 +402,10 @@ def parse_mp3_meta(payload: bytes) -> dict:
         "channels": channels,
         "sample_rate": sample_rate,
         "n_frames": n_frames,
-        "duration_s": n_frames * samples_per_frame / sample_rate,
+        "duration_s": float(duration),
         "bitrate_kbps": total_kbps / n_frames,
         "vbr": len(bitrates) > 1,
+        "mixed_params": len(params) > 1,
     }
 
 
@@ -650,6 +686,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             _check_dims(w, h)
+            _check_cpu_budget(w, h, n, "JPEG")
             comps = []
             for c in range(seg[5]):
                 cid = seg[6 + 3 * c]

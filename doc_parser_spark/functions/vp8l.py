@@ -35,7 +35,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from doc_parser_spark.functions.media_decode import MediaDecodeError
+from doc_parser_spark.functions.media_decode import (
+    MediaDecodeError,
+    _check_cpu_budget,
+)
 
 # ---------------------------------------------------------------------------
 # bit reader (LSB-first within each byte, bytes in stream order)
@@ -542,6 +545,10 @@ def decode_vp8l(data: bytes) -> np.ndarray:
         raise MediaDecodeError("VP8L: bad version")
     if width * height > 100_000_000:
         raise MediaDecodeError("VP8L: implausible dimensions")
+    # pure-Python entropy/LZ77/predictor loops: bound declared pixels by the
+    # input size so a tiny stream with zero-bit single-symbol codes cannot
+    # pin a core for minutes (see media_decode._check_cpu_budget)
+    _check_cpu_budget(width, height, len(data), "VP8L")
 
     # transforms, in read order; pixel data below uses the post-indexing
     # (possibly reduced) width

@@ -161,8 +161,41 @@ def convert_files(
     ``max_bytes`` with a ``skipped`` row — the S2 InputDocument size limit
     (reference document.py:116-206: over-limit inputs convert to a
     failure envelope, never an attempt): one multi-GB stray on a 100-TB
-    crawl must cost one status row, not an executor OOM."""
+    crawl must cost one status row, not an executor OOM.
+
+    The size guard is enforced BEFORE the content is read: when the input
+    carries the binaryFile ``length`` column, the over-limit branch selects
+    only (path, length) — column pruning means the scan never materializes
+    those bytes (and a >2 GB file, which the binaryFile source cannot read
+    at all, still costs one status row instead of a task failure) — while
+    the under-limit branch filters on ``length`` at the scan so the
+    predicate pushes down. The in-task payload check stays as a backstop
+    for inputs without a trustworthy length column."""
     cols = [f.name for f in CONVERTED_SCHEMA.fields]
+
+    if "length" in files.columns:
+        small = files.filter(F.col("length") <= max_bytes)
+        cols_ = [f.name for f in CONVERTED_SCHEMA.fields]
+
+        def skip_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pd.DataFrame(
+                    [(p, "binary", None, None, None, STATUS_SKIPPED,
+                      int(ln), 0)
+                     for p, ln in zip(pdf[path_col], pdf["length"])],
+                    columns=cols_,
+                )
+                yield out.astype({"n_bytes": "int64", "_proc_us": "int64"})
+
+        skipped = (
+            files.filter(F.col("length") > max_bytes)
+            .select(path_col, "length")  # content pruned: bytes never read
+            .mapInPandas(skip_gen, schema=CONVERTED_SCHEMA)
+        )
+        converted = convert_files(
+            small.drop("length"), path_col, content_col, batch_rows, max_bytes
+        )
+        return converted.unionByName(skipped)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

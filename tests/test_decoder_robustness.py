@@ -316,3 +316,92 @@ def test_pdf_tounicode_cmap_fuzz():
             assert isinstance(out, dict)
         except (ValueError, KeyError, IndexError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# CPU-budget guard: declared-dimension bombs for the pure-Python pixel loops
+# ---------------------------------------------------------------------------
+class TestDeclaredDimensionBombs:
+    """The 100 MP memory cap bounds allocation but not wall-clock: a
+    ~30-byte stream declaring 8192x8192 with degenerate entropy codes
+    would otherwise pin a core for minutes in the pure-Python entropy /
+    LZ77 / predictor loops.  _check_cpu_budget rejects pixel counts
+    implausible for the input size (1 MP floor, 512 px/byte) — these
+    crafted payloads must raise the typed decode error IMMEDIATELY, not
+    after a long decode."""
+
+    def _timed(self, fn, payload):
+        import time
+
+        t0 = time.monotonic()
+        with pytest.raises(MediaDecodeError):
+            fn(payload)
+        assert time.monotonic() - t0 < 5.0
+
+    def test_vp8l_dimension_bomb(self):
+        # VP8L header: sig 0x2F, then LSB-first (width-1):14 (height-1):14
+        # alpha:1 version:3, followed by near-empty bitstream — zero-bit
+        # single-symbol codes could emit pixels at no cost per pixel
+        from doc_parser_spark.functions.vp8l import decode_vp8l
+
+        dims = 8191 | (8191 << 14)  # 8192 x 8192 = 67 MP
+        payload = b"\x2f" + dims.to_bytes(4, "little") + b"\x00" * 24
+        self._timed(decode_vp8l, payload)
+
+    def test_webp_vp8l_dimension_bomb(self):
+        from doc_parser_spark.functions.media_decode import decode_webp
+
+        dims = 8191 | (8191 << 14)
+        vp8l = b"\x2f" + dims.to_bytes(4, "little") + b"\x00" * 24
+        riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
+                + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l)
+        self._timed(decode_webp, riff)
+
+    def test_jpeg_dimension_bomb(self):
+        # SOI + SOF0 declaring 8192x8192 in a <64-byte stream: rejected at
+        # the frame header, before any Huffman table or scan parse
+        body = bytes([8]) + struct.pack(">HH", 8192, 8192) + bytes(
+            [1, 1, 0x11, 0]
+        )
+        seg = b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+        payload = b"\xff\xd8" + seg + b"\xff\xd9"
+        self._timed(decode_jpeg, payload)
+
+    def test_large_image_with_proportional_data_still_allowed(self):
+        # the budget is input-size-scaled: a genuinely large SYNTH image
+        # with real per-pixel data stays decodable (640x480 PNG >> floor
+        # threshold is irrelevant — check budget arithmetic directly)
+        from doc_parser_spark.functions.media_decode import (
+            _check_cpu_budget,
+        )
+
+        _check_cpu_budget(4000, 3000, 1 << 20, "JPEG")  # 12 MP, 1 MiB: ok
+        with pytest.raises(MediaDecodeError):
+            _check_cpu_budget(4000, 3000, 1000, "JPEG")
+
+
+class TestMp3SplicedStream:
+    def test_mixed_version_duration_is_per_frame_exact(self):
+        """A spliced stream switching MPEG1/48k -> MPEG2/24k mid-file gets
+        sum(spf_i/rate_i), not first-frame parameters times frame count,
+        and is flagged mixed_params."""
+        from doc_parser_spark.functions.media_decode import parse_mp3_meta
+
+        f1 = bytes([0xFF, 0xFB, 0x94, 0xC0]) + b"\x01" * 380  # MPEG1 L3 128k/48k
+        f2 = bytes([0xFF, 0xF3, 0x94, 0xC0]) + b"\x01" * 236  # MPEG2 L3 80k/24k
+        m = parse_mp3_meta(f1 + f2)
+        assert m["n_frames"] == 2
+        assert m["mixed_params"] is True
+        assert abs(m["duration_s"] - (1152 / 48000 + 576 / 24000)) < 1e-12
+        # first-frame-extrapolated figure would be 2*1152/48000 = 0.048 too
+        # -- distinguish via a 3-frame splice
+        m3 = parse_mp3_meta(f1 + f2 + f2)
+        assert abs(m3["duration_s"] - (1152 / 48000 + 2 * 576 / 24000)) < 1e-12
+
+    def test_constant_stream_bit_identical_to_closed_form(self):
+        from doc_parser_spark.functions.media_decode import parse_mp3_meta
+
+        d = synth_media.build_mp3(7)
+        m = parse_mp3_meta(d)
+        assert m["duration_s"] == m["n_frames"] * 1152 / 48000
+        assert m["mixed_params"] is False

@@ -197,3 +197,55 @@ class TestSizeLimit:
         assert big["extracted_text"] is None
         assert big["n_bytes"] > 1000
         assert by_name["ok.html"]["parse_status"] == "success"
+
+
+class TestSizeLimitPushdown:
+    def test_oversize_bytes_never_read(self, spark, tmp_path):
+        """The S2 guard is enforced at the SCAN, not in the task: the
+        under-limit branch pushes `length <= max_bytes` into the binaryFile
+        source and the over-limit branch reads only (path, length) — an
+        oversize (or >2 GB, unreadable-by-binaryFile) stray never
+        materializes its bytes, it just becomes a skipped status row."""
+        d = tmp_path / "mix"
+        d.mkdir()
+        (d / "huge.html").write_text("<html>" + "x" * 5000 + "</html>")
+        (d / "ok.html").write_text("<html><p>small</p></html>")
+        from doc_parser_spark.sources.files import read_documents_dir
+
+        df = convert_files(read_documents_dir(spark, str(d)), max_bytes=1000)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the length predicate reached the binaryFile scan
+        assert "LessThanOrEqual(length" in plan
+        # one of the two scans projects no content column (skipped branch)
+        scans = [seg for seg in plan.split("FileScan") if "ReadSchema" in seg]
+        assert any("content" not in seg.split("ReadSchema")[1][:200]
+                   for seg in scans)
+        rows = {Path(r["path"]).name: r for r in df.collect()}
+        big = rows["huge.html"]
+        assert big["parse_status"] == "skipped"
+        assert big["n_bytes"] > 1000 and big["_proc_us"] == 0
+        assert rows["ok.html"]["parse_status"] == "success"
+
+    def test_streaming_branch_still_composes(self, spark, tmp_path):
+        """The filter/union split must not break the readStream twin."""
+        from doc_parser_spark.sources.files import (
+            CONVERTED_SCHEMA,
+            read_documents_stream,
+        )
+
+        d = tmp_path / "sdocs"
+        d.mkdir()
+        (d / "a.html").write_text("<html><p>hi</p></html>")
+        (d / "big.html").write_text("<html>" + "y" * 5000 + "</html>")
+        out = convert_files(read_documents_stream(spark, str(d)),
+                            max_bytes=1000)
+        assert out.isStreaming and out.schema == CONVERTED_SCHEMA
+        sink, ckpt = tmp_path / "sink2", tmp_path / "ckpt2"
+        q = (out.writeStream.format("parquet").option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {Path(r["path"]).name: r
+                for r in spark.read.parquet(str(sink)).collect()}
+        assert rows["big.html"]["parse_status"] == "skipped"
+        assert rows["a.html"]["parse_status"] == "success"
