@@ -12,18 +12,100 @@ operators; this plan wires them the way a 100 TB pretraining-data job would:
   survivors = the smallest turn uid of each near-dup cluster (greedy by id,
   deterministic);
 - chunking is row-local; the only remaining shuffles are the GenOSVectorMeta
-  index windows.
+  index windows;
+- per-stage row counts ride the SINGLE terminal action as CollectMetrics
+  (``df.observe``) nodes — no eager ``.count()`` jobs re-traversing the
+  lineage (at 100 TB each such job re-runs memory-pressured stages).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from doc_parser_spark.datamodel import STATUS_PARTIAL, STATUS_SUCCESS
 from doc_parser_spark.operators.chunking import chunk_turns, compose_vectors
 from doc_parser_spark.operators.dedup import exact_dedup, lsh_candidate_pairs
 from doc_parser_spark.operators.extract import extract_turns
+
+_STAGES = ("extracted", "quality_kept", "exact_unique", "near_dup_unique",
+           "vectors")
+
+
+class CurationStats(dict):
+    """Per-stage row counts, collected from the plan's CollectMetrics nodes
+    by whatever action the CALLER runs on the returned vectors DataFrame
+    (normally the one real write). If the stats are read before any action
+    has run, ONE fallback count() fires and fills every stage at once —
+    the worst case is one extra job, never five.
+
+    ``unpersist()`` releases the cached dedup-survivor intermediate (kept
+    cached because the LSH-pair branch and the survivor anti-join both
+    consume it inside the single action)."""
+
+    def __init__(self, vectors: DataFrame, observations: dict[str, Observation],
+                 cached: DataFrame):
+        super().__init__()
+        self._vectors = vectors
+        self._observations = observations
+        self._cached = cached
+        self._filled = False
+
+    def _fill(self) -> None:
+        if self._filled:
+            return
+        first = next(iter(self._observations.values()))
+        try:
+            action_ran = not first._jo.getOrEmpty().isEmpty()
+        except Exception:  # private-API drift → safe fallback
+            action_ran = False
+        if not action_ran:
+            self._vectors.count()
+        for name, obs in self._observations.items():
+            super().__setitem__(name, int(obs.get["count"]))
+        self._filled = True
+
+    def unpersist(self) -> None:
+        self._cached.unpersist()
+
+    def __getitem__(self, key):
+        self._fill()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        self._fill()
+        return super().__contains__(key)
+
+    def __iter__(self):
+        self._fill()
+        return super().__iter__()
+
+    def __len__(self):
+        self._fill()
+        return super().__len__()
+
+    def keys(self):
+        self._fill()
+        return super().keys()
+
+    def items(self):
+        self._fill()
+        return super().items()
+
+    def values(self):
+        self._fill()
+        return super().values()
+
+    def __repr__(self):
+        self._fill()
+        return dict.__repr__(self)
+
+
+def _observe(df: DataFrame, obs_map: dict[str, Observation],
+             name: str) -> DataFrame:
+    obs = Observation(f"curation_{name}")
+    obs_map[name] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("count"))
 
 
 def run_curation(
@@ -33,15 +115,20 @@ def run_curation(
     near_dup_jaccard: float = 0.7,
     max_tokens: int = 2000,
     boilerplate_mode: str = "reference",
-) -> tuple[DataFrame, dict]:
-    """Returns (vectors DataFrame, per-stage row counts)."""
-    stats: dict[str, int] = {}
+) -> tuple[DataFrame, CurationStats]:
+    """Returns (vectors DataFrame, per-stage row counts).
+
+    The stats dict is lazy: counts materialize from observe() metrics when
+    the caller's first action on ``vectors`` runs (or on first stats access,
+    via one fallback count). Call ``stats.unpersist()`` after the terminal
+    write to release the cached dedup intermediate."""
+    observations: dict[str, Observation] = {}
 
     extracted = extract_turns(transcripts, boilerplate_mode=boilerplate_mode)
     extracted = extracted.withColumn(
         "uid", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
-    ).cache()
-    stats["extracted"] = extracted.count()
+    )
+    extracted = _observe(extracted, observations, "extracted")
 
     # 1. quality gate: parse succeeded, non-empty, not glyph garbage
     kept = extracted.where(
@@ -49,13 +136,19 @@ def run_curation(
         & (F.col("n_char") > 0)
         & (F.coalesce(F.col("parse_score"), F.lit(0.0)) >= min_quality)
     )
-    stats["quality_kept"] = kept.count()
+    kept = _observe(kept, observations, "quality_kept")
 
     # 2. exact dedup on the extracted main text
     deduped = exact_dedup(kept, "uid", "extracted_text").where("keep").drop(
         "keep", "doc_hash"
     )
-    stats["exact_unique"] = deduped.count()
+    deduped = _observe(deduped, observations, "exact_unique")
+    # the LSH-pair branch and the survivor anti-join below BOTH consume
+    # deduped inside the one terminal action — cache the fork point so
+    # extraction + dedup don't run twice (caller releases via
+    # stats.unpersist(); without an explicit release it ages out of the
+    # executor block store under normal LRU)
+    deduped = deduped.cache()
 
     # 3. near-dup removal: LSH candidates → verified pairs → drop the larger
     # uid of every pair (greedy, deterministic)
@@ -70,12 +163,11 @@ def run_curation(
     # data — AQE picks broadcast when it actually fits
     losers = pairs.select(F.col("b_id").alias("uid")).distinct()
     survivors = deduped.join(losers, "uid", "left_anti")
-    stats["near_dup_unique"] = survivors.count()
+    survivors = _observe(survivors, observations, "near_dup_unique")
 
     # 4. chunk + vector metadata
     chunks = chunk_turns(survivors, max_tokens=max_tokens)
     vectors = compose_vectors(chunks)
-    stats["vectors"] = vectors.count()
+    vectors = _observe(vectors, observations, "vectors")
 
-    extracted.unpersist()
-    return vectors, stats
+    return vectors, CurationStats(vectors, observations, deduped)

@@ -64,3 +64,40 @@ def test_curation_stages(spark):
     # index invariants still hold after curation
     for conv, grp in pdf.groupby("conv_id"):
         assert sorted(grp["i_chunk_on_doc"]) == list(range(len(grp)))
+    stats.unpersist()
+
+
+def test_curation_stats_ride_the_single_action(spark, tmp_path):
+    """The stats dict is CollectMetrics-backed: after the caller's one real
+    write, reading every stage count launches ZERO additional Spark jobs
+    (the round-4 version ran five eager .count() jobs, each re-traversing
+    the cached lineage)."""
+    from doc_parser_spark.plans.curate import run_curation
+
+    df = spark.createDataFrame(_corpus())
+    vectors, stats = run_curation(
+        spark, df, min_quality=0.5, near_dup_jaccard=0.5, max_tokens=200
+    )
+    # five observe points in the plan, one per stage (the tree print
+    # duplicates forked subtrees, so count distinct metric names)
+    plan = vectors._jdf.queryExecution().analyzed().toString()
+    for stage in ("extracted", "quality_kept", "exact_unique",
+                  "near_dup_unique", "vectors"):
+        assert f"CollectMetrics curation_{stage}" in plan
+
+    sc = spark.sparkContext
+    vectors.write.mode("overwrite").parquet(str(tmp_path / "vec"))
+
+    sc.setJobGroup("stats-read", "reading curation stats")
+    try:
+        collected = dict(stats.items())
+    finally:
+        sc.setJobGroup(None, None)
+    assert collected["extracted"] == 11
+    assert collected["quality_kept"] == 9
+    assert collected["exact_unique"] == 7
+    assert collected["near_dup_unique"] == 6
+    assert collected["vectors"] >= 6
+    # no job ran inside the stats-read group: the metrics came off the write
+    assert sc.statusTracker().getJobIdsForGroup("stats-read") == []
+    stats.unpersist()
