@@ -1,0 +1,434 @@
+"""Heuristic layout segmentation: typed, bboxed regions per PDF page.
+
+This is the measurable face of the P3 replacement (the reference's RT-DETR
+layout NN, docling/models/layout_model.py:148-219, is out of scope per the
+north star; the heuristics here are scored against the reference's OWN
+annotated evaluation asset by tests/test_layout_eval.py using the ported
+IoU/F1 harness in functions/layout_eval.py).
+
+Inputs come from ``decode_pdf_layout`` (functions/pdf_decode.py): positioned
+text cells, raster image placements, and vector path segments, all top-left
+origin in page points. Region classes follow the evaluation vocabulary
+(labeled_recent.json categories): title, section_header, text, list_item,
+table, picture, caption.
+
+Detection strategy:
+
+- **picture**: merged raster XObject placements (charts in report PDFs are
+  flattened raster images);
+- **table**: clusters of vector path segments (rulings/fills) with both
+  horizontal and vertical structure and multiple text rows inside; thin
+  full-width clusters are decoration bars (they MARK section headers
+  instead of producing regions);
+- **text blocks** are rows grouped by marker starts + vertical gaps, then
+  labeled: roman-numeral headers → title (the evaluation GT labels per-page
+  roman headers as title), decorated/numbered headers → section_header,
+  bullet/footnote-marker blocks → list_item, short blocks vertically
+  adjacent to a picture/table → caption, else text.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from statistics import median
+
+from doc_parser_spark.functions.pdf_decode import decode_pdf_layout
+from doc_parser_spark.functions.pdfish_extract import (
+    Cell,
+    FOOTER_BAND,
+    HEADER_BAND,
+    group_rows,
+    merge_row,
+)
+
+# block-start markers seen in corporate/government report PDFs; the marker
+# CLASS decides the block label
+_BULLET = "□■ㅇo○●◦·‧∙◾▪▶►—–※"
+_RE_LIST = re.compile(rf"^\s*(?:[{_BULLET}]|\*|주\s*[:：]|-\s|\(\d+\)|\d+\)\s)")
+_RE_CIRCLED = re.compile("^\\s*[①-⑳]")  # ① … ⑳
+_RE_ROMAN = re.compile(r"^\s*(?:[ⅠⅡⅢⅣⅤⅥⅦⅧⅨⅩⅪⅫ]|[IVX]{1,4}\.)\s*[.．]?\s*\S")
+_RE_ARROW = re.compile(r"^\s*[⇒➡→]")
+_RE_NUMBERED_HEAD = re.compile(r"^\s*\d+\s+\S")
+_RE_ANGLED = re.compile(r"^\s*[<〈《\[【].*[>〉》\]】]\s*$")
+
+_RE_PAGENO = re.compile(r"^[\s\-–—]*\d+\s*(?:/\s*\d+)?[\s\-–—]*$")
+
+_MIN_CLUSTER = 8.0       # pt: graphics clusters smaller than this are noise
+_CONT_GAP_FACTOR = 1.9   # vertical gap (× line height) closing a block
+_BAR_MAX_HEIGHT = 30.0   # pt: thin wide cluster = decoration bar, not table
+_GRID_CELL = 16.0        # pt: coarse grid for segment clustering
+_CAPTION_GAP = 18.0      # pt: caption-to-figure adjacency
+_CAPTION_MAX_ROWS = 2
+
+
+def _cluster_boxes(boxes: list[tuple], tol: float = 2.0) -> list[list[float]]:
+    """Union boxes into connected clusters: coarse-grid union-find, then a
+    pairwise bbox-overlap fixpoint on the (few) cluster hulls."""
+    if not boxes:
+        return []
+    parent = list(range(len(boxes)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+
+    grid: dict[tuple[int, int], int] = {}
+    for idx, (x0, y0, x1, y1) in enumerate(boxes):
+        for gx in range(int(x0 // _GRID_CELL), int(x1 // _GRID_CELL) + 1):
+            for gy in range(int(y0 // _GRID_CELL), int(y1 // _GRID_CELL) + 1):
+                key = (gx, gy)
+                if key in grid:
+                    union(grid[key], idx)
+                else:
+                    grid[key] = idx
+    hulls: dict[int, list[float]] = {}
+    for idx, (x0, y0, x1, y1) in enumerate(boxes):
+        root = find(idx)
+        h = hulls.get(root)
+        if h is None:
+            hulls[root] = [x0, y0, x1, y1]
+        else:
+            h[0] = min(h[0], x0)
+            h[1] = min(h[1], y0)
+            h[2] = max(h[2], x1)
+            h[3] = max(h[3], y1)
+    clusters = list(hulls.values())
+    changed = True
+    while changed:
+        changed = False
+        out: list[list[float]] = []
+        for c in clusters:
+            for o in out:
+                if (
+                    c[0] <= o[2] + tol
+                    and c[2] >= o[0] - tol
+                    and c[1] <= o[3] + tol
+                    and c[3] >= o[1] - tol
+                ):
+                    o[0] = min(o[0], c[0])
+                    o[1] = min(o[1], c[1])
+                    o[2] = max(o[2], c[2])
+                    o[3] = max(o[3], c[3])
+                    changed = True
+                    break
+            else:
+                out.append(c)
+        clusters = out
+    return clusters
+
+
+def _inside(cx: float, cy: float, box: list[float], pad: float = 2.0) -> bool:
+    return (
+        box[0] - pad <= cx <= box[2] + pad
+        and box[1] - pad <= cy <= box[3] + pad
+    )
+
+
+def _overlap_area(a, b) -> float:
+    w = min(a[2], b[2]) - max(a[0], b[0])
+    h = min(a[3], b[3]) - max(a[1], b[1])
+    return w * h if w > 0 and h > 0 else 0.0
+
+
+def _page_regions(page_no: int, page: dict) -> list[dict]:
+    width, height = page["dims"]
+    cells = [Cell(page_no, *c) for c in page["cells"]]
+
+    # --- graphics: pictures, tables, decoration bars ---------------------
+    pictures = _cluster_boxes(page["images"], tol=6.0)
+    pictures = [
+        p for p in pictures
+        if p[2] - p[0] >= _MIN_CLUSTER and p[3] - p[1] >= _MIN_CLUSTER
+        # a page-filling raster is a background/watermark, not a figure
+        and (p[2] - p[0]) * (p[3] - p[1]) < 0.85 * width * height
+    ]
+    segs = [
+        s for s in page["segments"]
+        # drop degenerate dots; drop page-spanning rules (page borders and
+        # full-page clip rectangles re-emitted per drawing op would bridge
+        # every cluster into one)
+        if (s[2] - s[0] >= 1.0 or s[3] - s[1] >= 1.0)
+        and (s[2] - s[0]) <= 0.9 * width
+        and (s[3] - s[1]) <= 0.9 * height
+    ]
+    gclusters = _cluster_boxes(segs, tol=3.0)
+    tables: list[list[float]] = []
+    bars: list[list[float]] = []
+    for c in gclusters:
+        w, h = c[2] - c[0], c[3] - c[1]
+        if w < _MIN_CLUSTER or (w * h) < _MIN_CLUSTER * _MIN_CLUSTER:
+            continue
+        # does the cluster have grid structure? a horizontal RULE is a y
+        # where flat segments cover most of the cluster width — rulings are
+        # routinely drawn as per-cell dashes, so coverage is summed per y,
+        # never judged per segment
+        h_cover: dict[int, float] = {}
+        for s in segs:
+            if s[3] - s[1] < 2.0 and _inside(
+                (s[0] + s[2]) / 2, (s[1] + s[3]) / 2, c
+            ):
+                y_key = round(s[1])
+                h_cover[y_key] = h_cover.get(y_key, 0.0) + (s[2] - s[0])
+        h_rules = {y for y, cov in h_cover.items() if cov > 0.5 * w}
+        n_rows_inside = sum(
+            1
+            for cell in cells
+            if _inside((cell.x0 + cell.x1) / 2, (cell.y0 + cell.y1) / 2, c)
+        )
+        # a cluster substantially overlapping a raster placement is chart
+        # furniture (axes/gridlines drawn over or around the image), never
+        # a table — charts have full-width gridlines too
+        on_image = any(
+            _overlap_area(c, p) > 0.3 * max((p[2] - p[0]) * (p[3] - p[1]), 1.0)
+            for p in pictures
+        )
+        if h <= _BAR_MAX_HEIGHT:
+            bars.append(c)
+        elif on_image:
+            continue
+        elif len(h_rules) >= 3 and n_rows_inside >= 6:
+            tables.append(c)
+        # tall clusters without grid structure (chart frames drawn in
+        # vector, side boxes) are left unlabeled: their text still flows
+        # into normal blocks below
+
+    # --- text units (merged segments, NOT whole visual rows: side-by-side
+    # captions / column cells must stay separate) ------------------------
+    units: list[Cell] = []
+    for raw_row in group_rows(cells):
+        for s in merge_row(raw_row):
+            center = (s.y0 + s.y1) / 2
+            if center < height * HEADER_BAND or center > height * FOOTER_BAND:
+                continue  # page furniture: running headers / footers
+            if center > height * 0.9 and _RE_PAGENO.match(s.text):
+                continue  # centered "‑ 5 ‑" / "5 / 8" page numbers
+            if s.x1 - s.x0 < 4.0 and len(s.text.strip()) <= 1:
+                continue  # stray superscript dots / footnote stars
+            units.append(s)
+    units.sort(key=lambda r: (r.y0, r.x0))
+
+    consumed_boxes = tables + pictures
+    body_units = [
+        r
+        for r in units
+        if not any(
+            _inside((r.x0 + r.x1) / 2, (r.y0 + r.y1) / 2, b)
+            for b in consumed_boxes
+        )
+    ]
+    heights = [r.y1 - r.y0 for r in body_units]
+    med_h = median(heights) if heights else 12.0
+
+    def _is_marker(text: str) -> bool:
+        return bool(
+            _RE_LIST.match(text)
+            or _RE_CIRCLED.match(text)
+            or _RE_ROMAN.match(text)
+            or _RE_ARROW.match(text)
+        )
+
+    # multi-open-block assembly: a unit continues the open block it
+    # x-overlaps (two columns of text stay two chains); marker starts
+    # always open a new block
+    blocks: list[dict] = []
+    open_blocks: list[dict] = []
+    for u in body_units:
+        uh = u.y1 - u.y0
+        attached = None
+        if not _is_marker(u.text):
+            best_ov = 0.0
+            for b in open_blocks:
+                gap = u.y0 - b["y1"]
+                if gap > max(uh, b["last_h"]) * _CONT_GAP_FACTOR:
+                    continue
+                ov = min(u.x1, b["x1"]) - max(u.x0, b["x0"])
+                min_w = max(min(u.x1 - u.x0, b["x1"] - b["x0"]), 1.0)
+                if ov >= 0.5 * min_w and ov > best_ov:
+                    best_ov = ov
+                    attached = b
+        if attached is None:
+            attached = {
+                "rows": [], "x0": u.x0, "y0": u.y0, "x1": u.x1, "y1": u.y1,
+                "last_h": uh,
+            }
+            open_blocks.append(attached)
+            blocks.append(attached)
+        attached["rows"].append(u)
+        attached["x0"] = min(attached["x0"], u.x0)
+        attached["y0"] = min(attached["y0"], u.y0)
+        attached["x1"] = max(attached["x1"], u.x1)
+        attached["y1"] = max(attached["y1"], u.y1)
+        attached["last_h"] = uh
+        # retire blocks that ended well above the sweep line
+        open_blocks = [
+            b for b in open_blocks
+            if u.y0 - b["y1"] <= 3.0 * max(med_h, uh)
+        ]
+
+    # a lone marker glyph separated from its own text by a wide gap (deep
+    # hanging indent) becomes a sliver block — fold it into the block to
+    # its right on the same baseline
+    slivers = [
+        b for b in blocks
+        if len(b["rows"]) == 1
+        and b["x1"] - b["x0"] < 14.0
+        and len(b["rows"][0].text.strip()) <= 2
+        and _is_marker(b["rows"][0].text)
+    ]
+    for sl in slivers:
+        host = min(
+            (
+                b for b in blocks
+                if b is not sl
+                and b["x0"] >= sl["x1"] - 2.0
+                and b["x0"] - sl["x1"] < 60.0
+                and min(b["y1"], sl["y1"]) - max(b["y0"], sl["y0"]) > 0
+            ),
+            key=lambda b: b["x0"],
+            default=None,
+        )
+        if host is not None:
+            host["rows"] = sl["rows"] + host["rows"]
+            host["x0"] = min(host["x0"], sl["x0"])
+            host["y0"] = min(host["y0"], sl["y0"])
+            host["x1"] = max(host["x1"], sl["x1"])
+            host["y1"] = max(host["y1"], sl["y1"])
+            blocks.remove(sl)
+
+    # --- table-of-contents pages: rows of dotted leaders merge into ONE
+    # region (the GT annotates the whole index as a single box) ----------
+    dotted = [b for b in blocks if any("·····" in r.text for r in b["rows"])]
+    if len(dotted) >= 3:
+        lo = min(b["y0"] for b in dotted)
+        hi = max(b["y1"] for b in dotted)
+        absorbed = [
+            b for b in blocks
+            if b["y1"] >= lo - 2 * med_h and b["y0"] <= hi + 2 * med_h
+        ]
+        keep = [b for b in blocks if b not in absorbed]
+        toc = {
+            "rows": [r for b in absorbed for r in b["rows"]],
+            "x0": min(b["x0"] for b in absorbed),
+            "y0": min(b["y0"] for b in absorbed),
+            "x1": max(b["x1"] for b in absorbed),
+            "y1": max(b["y1"] for b in absorbed),
+            "toc": True,
+        }
+        blocks = keep + [toc]
+
+    # --- label blocks ----------------------------------------------------
+    regions: list[dict] = []
+    for b in blocks:
+        brs = b["rows"]
+        bx0, by0, bx1, by1 = b["x0"], b["y0"], b["x1"], b["y1"]
+        first = brs[0].text
+        first_h = brs[0].y1 - brs[0].y0
+        bw = bx1 - bx0
+
+        def _near_figure() -> list[float] | None:
+            for box in consumed_boxes:
+                if (
+                    (abs(by1 - box[1]) <= _CAPTION_GAP
+                     or abs(by0 - box[3]) <= _CAPTION_GAP)
+                    and bx0 < box[2]
+                    and bx1 > box[0]
+                ):
+                    return box
+            return None
+
+        bar_hit = next(
+            (
+                bar
+                for bar in bars
+                if _inside((bx0 + bx1) / 2, (by0 + by1) / 2, bar)
+            ),
+            None,
+        )
+        fig = _near_figure()
+        if b.get("toc"):
+            label = "section_header"
+        elif _RE_ROMAN.match(first):
+            label = "title"
+        elif first_h >= 1.6 * med_h and by0 < height * 0.45 and len(
+            body_units
+        ) < 15:
+            # outsized text high on a sparse page: cover title
+            label = "title"
+        elif _RE_CIRCLED.match(first) or _RE_ANGLED.match(first):
+            label = "section_header"
+        elif _RE_NUMBERED_HEAD.match(first) and bar_hit is not None:
+            label = "section_header"
+        elif (
+            fig is not None
+            and len(brs) <= _CAPTION_MAX_ROWS
+            and bw <= 0.55 * max(fig[2] - fig[0], 1.0)
+        ):
+            # narrow short block hugging a figure/table edge; wide blocks
+            # there are ordinary body text (footnotes, paragraphs)
+            label = "caption"
+        elif _RE_ARROW.match(first):
+            label = "text"
+        elif _RE_LIST.match(first):
+            label = "list_item"
+        else:
+            label = "text"
+        if bar_hit is not None and label == "section_header":
+            # the GT annotates the DRAWN header bar, not the text extent
+            bx0 = min(bx0, bar_hit[0])
+            by0 = min(by0, bar_hit[1])
+            bx1 = max(bx1, bar_hit[2])
+            by1 = max(by1, bar_hit[3])
+        regions.append(
+            {"bbox_pt": (bx0, by0, bx1, by1), "type": label}
+        )
+
+    for t in tables:
+        regions.append({"bbox_pt": tuple(t), "type": "table"})
+    for p in pictures:
+        regions.append({"bbox_pt": tuple(p), "type": "picture"})
+
+    out = []
+    for reg in regions:
+        x0, y0, x1, y1 = reg["bbox_pt"]
+        out.append(
+            {
+                "page": page_no,
+                "type": reg["type"],
+                "bbox": {
+                    "l": x0 / width,
+                    "t": (height - y0) / height,
+                    "r": x1 / width,
+                    "b": (height - y1) / height,
+                    "coord_origin": "BOTTOMLEFT",
+                },
+            }
+        )
+    return out
+
+
+def layout_regions(data: bytes) -> list[dict]:
+    """PDF bytes → flat list of typed regions
+    ``{"page", "type", "bbox": {l,t,r,b} normalized BOTTOMLEFT}``."""
+    layout = decode_pdf_layout(data)
+    regions: list[dict] = []
+    for page_no in sorted(layout):
+        regions.extend(_page_regions(page_no, layout[page_no]))
+    return regions
+
+
+def layout_result_rows(data: bytes) -> list[dict]:
+    """Regions in the reference result-JSON shape (one row, all
+    chunk_bboxes) — directly consumable by functions/layout_eval.py."""
+    return [{"chunk_bboxes": layout_regions(data)}]
+
+
+def _strip_marker(text: str) -> str:
+    return unicodedata.normalize("NFC", text).strip()
