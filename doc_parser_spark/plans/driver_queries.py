@@ -5453,3 +5453,144 @@ GROUP BY t.doc_id
 
 QUERIES["text_subword_counts"] = q_text_subword_counts
 ORACLES["text_subword_counts"] = ORACLE_SUBWORD
+
+
+# ===========================================================================
+# batch 52 — TOC match-back (portable half of E4,
+# document_enrichment.py:685-760): sequential greedy assignment of TOC
+# entries onto candidate lines, highest-similarity-first with a 0.5
+# threshold. TOC entries and candidate lines are synthesized in-plan from
+# the word-soup documents (construction shared verbatim with the oracle);
+# similarity = levenshtein ratio (built-in on BOTH engines), threshold
+# evaluated in integer arithmetic, allocation unrolled one round per TOC
+# rank on both sides. Output is all-integer + string — no float columns.
+# ===========================================================================
+_TOC_RANKS = 4
+_TOC_CANDS = 10
+
+
+def q_toc_match_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.enrichment import toc_match_back
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+            ).alias("w"),
+        )
+        .where(F.size("w") >= 12)
+    )
+    ranks = F.array([F.lit(i) for i in range(1, _TOC_RANKS + 1)])
+    toc = (
+        words.select("doc_id", "w", F.explode(ranks).alias("toc_i"))
+        .withColumn(
+            "toc_title",
+            F.concat(
+                F.element_at("w", F.col("toc_i") * 2),
+                F.lit(" "),
+                F.element_at("w", F.col("toc_i") * 2 + 1),
+            ),
+        )
+        .withColumn(
+            "toc_full",
+            F.concat(F.col("toc_i").cast("string"), F.lit(". "),
+                     F.col("toc_title")),
+        )
+        .drop("w")
+    )
+    cands = F.array([F.lit(j) for j in range(1, _TOC_CANDS + 1)])
+    candidates = (
+        words.select("doc_id", "w", F.explode(cands).alias("cand_j"))
+        .withColumn(
+            "base",
+            F.concat(
+                F.element_at("w", F.col("cand_j")),
+                F.lit(" "),
+                F.element_at("w", F.col("cand_j") + 1),
+            ),
+        )
+        .withColumn(
+            "cand_text",
+            F.when(F.col("cand_j") % 3 == 0, F.col("base")).otherwise(
+                F.concat(F.col("base"), F.lit(" "),
+                         F.element_at("w", F.col("cand_j") + 2))
+            ),
+        )
+        .select("doc_id", "cand_j", "cand_text")
+    )
+    return toc_match_back(toc, candidates, _TOC_RANKS).orderBy(
+        "doc_id", "toc_i"
+    )
+
+
+def _toc_oracle() -> str:
+    rounds = []
+    prev_names = []
+    for i in range(1, _TOC_RANKS + 1):
+        excl = ""
+        if prev_names:
+            excl = " AND " + " AND ".join(
+                f"NOT EXISTS (SELECT 1 FROM {p} x WHERE x.doc_id = s.doc_id"
+                f" AND x.cand_j = s.cand_j)"
+                for p in prev_names
+            )
+        rounds.append(
+            f"""r{i} AS (
+  SELECT s.* FROM scored s WHERE s.toc_i = {i}{excl}
+  QUALIFY row_number() OVER (
+    PARTITION BY s.doc_id ORDER BY s.sim DESC, s.cand_j ASC) = 1
+)"""
+        )
+        prev_names.append(f"r{i}")
+    union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, toc_i, cand_j, lev_full, lev_title, cand_text FROM {p}"
+        for p in prev_names
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')) >= 12
+),
+toc AS (
+  SELECT doc_id, i::INT AS toc_i,
+         w[2*i] || ' ' || w[2*i+1] AS toc_title,
+         i::VARCHAR || '. ' || w[2*i] || ' ' || w[2*i+1] AS toc_full
+  FROM w, unnest(range(1, {_TOC_RANKS + 1})) AS t(i)
+),
+cand AS (
+  SELECT doc_id, j::INT AS cand_j,
+         CASE WHEN j % 3 = 0 THEN w[j] || ' ' || w[j+1]
+              ELSE w[j] || ' ' || w[j+1] || ' ' || w[j+2] END AS cand_text
+  FROM w, unnest(range(1, {_TOC_CANDS + 1})) AS t(j)
+),
+scored AS (
+  SELECT t.doc_id, t.toc_i, c.cand_j,
+         levenshtein(t.toc_full, c.cand_text)::INT AS lev_full,
+         levenshtein(t.toc_title, c.cand_text)::INT AS lev_title,
+         c.cand_text,
+         greatest(
+           1.0 - levenshtein(t.toc_full, c.cand_text)
+                 / greatest(length(t.toc_full), length(c.cand_text), 1)::DOUBLE,
+           1.0 - levenshtein(t.toc_title, c.cand_text)
+                 / greatest(length(t.toc_title), length(c.cand_text), 1)::DOUBLE
+         ) AS sim
+  FROM toc t JOIN cand c USING (doc_id)
+  WHERE 2 * levenshtein(t.toc_full, c.cand_text)
+          <= greatest(length(t.toc_full), length(c.cand_text))
+     OR 2 * levenshtein(t.toc_title, c.cand_text)
+          <= greatest(length(t.toc_title), length(c.cand_text))
+),
+{",".join(rounds)}
+{union}
+ORDER BY doc_id, toc_i
+"""
+
+
+QUERIES["toc_match_back"] = q_toc_match_back
+ORACLES["toc_match_back"] = _toc_oracle()
