@@ -90,3 +90,76 @@ def dedup_stream(
     return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["doc_hash"]
     )
+
+
+def dedup_incremental_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    accepted_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Continuous-ingestion dedup: every arriving micro-batch is classified
+    exact_dup / near_dup / novel against the corpus-so-far, and novel docs
+    JOIN the corpus for subsequent batches.
+
+    This is the production wiring of ``operators/dedup.dedup_incremental``
+    (the batch operator runs VERBATIM inside ``foreachBatch``, so streaming
+    results are bit-identical to running the batch operator per arrival
+    group — proven by tests/test_streaming_dedup.py): the micro-batch is
+    the new side, the static corpus (``corpus_path``) plus previously
+    accepted novel docs (``accepted_path``) is the old side. All joins are
+    batch-sized-vs-index — never corpus×corpus — exactly like the batch
+    form.
+
+    At 100 TB the old side's md5 + LSH band indexes are precomputed tables
+    maintained by this same loop (dedup_incremental recomputes them from
+    text for self-containedness; swapping in materialized index tables
+    changes only the two reads). foreachBatch sinks are at-least-once on
+    task retry: the output carries ``batch_id`` so replays are
+    idempotently collapsible downstream (same pattern as the manifest
+    commits in plans/pipeline.py).
+    """
+    from doc_parser_spark.operators.dedup import dedup_incremental
+
+    def process(mb: DataFrame, batch_id: int) -> None:
+        spark = mb.sparkSession
+        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        try:
+            accepted = spark.read.parquet(accepted_path).select(
+                id_col, text_col
+            )
+            corpus = corpus.unionByName(accepted)
+        except Exception:
+            pass  # first batch: nothing accepted yet
+        mb = mb.persist()
+        res = dedup_incremental(
+            mb, corpus, id_col, text_col, **dedup_kwargs
+        ).persist()
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_path)
+        )
+        (
+            mb.join(
+                res.where(F.col("status") == "novel").select(id_col), id_col
+            )
+            .select(id_col, text_col)
+            .write.mode("append")
+            .parquet(accepted_path)
+        )
+        res.unpersist()
+        mb.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,126 @@
+"""Streaming incremental dedup: continuous ingestion gets exact/near/novel
+tagging with BIT-PARITY to the batch operator across micro-batch
+boundaries, and novel docs from earlier batches are visible as corpus to
+later batches (the cross-batch property foreachBatch exists for)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "completely different reference text about spark streaming joins"),
+]
+
+BATCH_1 = [
+    (100, "the quick brown fox jumps over the lazy dog again and again"),
+    (101, "a genuinely new document that matches nothing in the corpus"),
+]
+
+BATCH_2 = [
+    # exact dup of batch 1's NOVEL doc — only visible cross-batch
+    (200, "a genuinely new document that matches nothing in the corpus"),
+    # near dup of corpus doc 1 (one word changed)
+    (201, "the quick brown fox jumps over the lazy cat again and again"),
+    (202, "yet another novel text with entirely fresh vocabulary inside"),
+]
+
+
+def _write(df_rows, path):
+    pd.DataFrame(df_rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(path, index=False)
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sdedup")
+    corpus = root / "corpus"
+    incoming = root / "incoming"
+    corpus.mkdir()
+    incoming.mkdir()
+    _write(CORPUS, corpus / "corpus.parquet")
+    _write(BATCH_1, incoming / "b1.parquet")
+    _write(BATCH_2, incoming / "b2.parquet")
+    return root
+
+
+def _run_stream(spark, root):
+    from doc_parser_spark.streaming.stream import dedup_incremental_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one arrival file per micro-batch
+        .parquet(str(root / "incoming"))
+    )
+    q = dedup_incremental_stream(
+        stream,
+        corpus_path=str(root / "corpus"),
+        accepted_path=str(root / "accepted"),
+        output_path=str(root / "out"),
+        checkpoint_path=str(root / "ckpt"),
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(str(root / "out"))
+
+
+def test_streaming_matches_sequential_batch_exactly(spark, dirs):
+    """Drain the two arrival files as two micro-batches, then replay the
+    same sequence with the BATCH operator (batch 2's corpus = corpus +
+    batch 1 novels) — statuses and matched ids must be identical."""
+    from doc_parser_spark.operators.dedup import dedup_incremental
+
+    out = _run_stream(spark, dirs).toPandas()
+    assert len(out) == 5
+    # micro-batch boundaries respected: one file per batch
+    assert sorted(out["batch_id"].unique().tolist()) == [0, 1]
+
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    b1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+    r1 = dedup_incremental(b1, corpus, "doc_id", "text").toPandas()
+    novel1 = b1.join(
+        spark.createDataFrame(
+            r1[r1.status == "novel"][["doc_id"]]
+        ),
+        "doc_id",
+    )
+    r2 = dedup_incremental(
+        b2, corpus.unionByName(novel1), "doc_id", "text"
+    ).toPandas()
+    batch_ref = (
+        pd.concat([r1, r2])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stream_got = (
+        out.drop(columns=["batch_id"]).sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        stream_got.astype(str), batch_ref.astype(str)
+    )
+
+
+def test_cross_batch_statuses(spark, dirs):
+    out = (
+        spark.read.parquet(str(dirs / "out"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[100, "status"] == "exact_dup"
+    assert out.loc[100, "matched_old_id"] == 1
+    assert out.loc[101, "status"] == "novel"
+    # the decisive cross-batch case: 200 duplicates batch 1's novel 101
+    assert out.loc[200, "status"] == "exact_dup"
+    assert out.loc[200, "matched_old_id"] == 101
+    assert out.loc[201, "status"] == "near_dup"
+    assert out.loc[201, "matched_old_id"] == 1
+    assert out.loc[202, "status"] == "novel"
+
+
+def test_accepted_corpus_contains_exactly_the_novels(spark, dirs):
+    acc = spark.read.parquet(str(dirs / "accepted")).toPandas()
+    assert sorted(acc["doc_id"].tolist()) == [101, 202]
