@@ -153,6 +153,7 @@ def convert_files(
     content_col: str = "content",
     batch_rows: int = 16,
     max_bytes: int = 512 * 1024 * 1024,
+    rebalance: int | None = None,
 ) -> DataFrame:
     """binaryFile rows → converted documents (CONVERTED_SCHEMA).
 
@@ -162,6 +163,17 @@ def convert_files(
     (reference document.py:116-206: over-limit inputs convert to a
     failure envelope, never an attempt): one multi-GB stray on a 100-TB
     crawl must cost one status row, not an executor OOM.
+
+    ``rebalance``: optional round-robin repartition of the file ROWS before
+    the parse. Spark's scan packs files into tasks by BYTES (size-desc
+    first-fit), but decode cost is not proportional to bytes — a directory
+    where the CPU-heavy format (multi-page PDFs) is also the largest gets
+    ALL its expensive files co-located into a few tasks (measured: 300
+    80-page PDFs among 18k small files → one 18 s straggler task, wall
+    62 s; rebalance=1024 → max task 4.6 s, wall 41 s; docs/SCALE.md
+    round 5). The exchange moves raw file bytes once — worth it exactly
+    when per-file CPU dominates the byte volume; leave None for
+    byte-bound mixes, keeping the zero-exchange plan.
 
     The size guard is enforced BEFORE the content is read: when the input
     carries the binaryFile ``length`` column, the over-limit branch selects
@@ -193,9 +205,13 @@ def convert_files(
             .mapInPandas(skip_gen, schema=CONVERTED_SCHEMA)
         )
         converted = convert_files(
-            small.drop("length"), path_col, content_col, batch_rows, max_bytes
+            small.drop("length"), path_col, content_col, batch_rows,
+            max_bytes, rebalance,
         )
         return converted.unionByName(skipped)
+
+    if rebalance:
+        files = files.repartition(rebalance)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

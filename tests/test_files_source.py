@@ -249,3 +249,22 @@ class TestSizeLimitPushdown:
                 for r in spark.read.parquet(str(sink)).collect()}
         assert rows["big.html"]["parse_status"] == "skipped"
         assert rows["a.html"]["parse_status"] == "success"
+
+
+class TestRebalance:
+    def test_rebalance_adds_one_exchange_same_results(self, spark, doc_dir):
+        from doc_parser_spark.sources.files import read_documents_dir
+
+        base = convert_files(read_documents_dir(spark, str(doc_dir)))
+        reb = convert_files(
+            read_documents_dir(spark, str(doc_dir)), rebalance=8
+        )
+        plan = reb._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange: the explicit round-robin of file rows that
+        # decouples CPU-heavy decode from byte-based scan packing
+        assert plan.count("Exchange") == 1 and "RoundRobin" in plan
+        a = sorted((r["path"], r["parse_status"], r["extracted_text"])
+                   for r in base.collect())
+        b = sorted((r["path"], r["parse_status"], r["extracted_text"])
+                   for r in reb.collect())
+        assert a == b
