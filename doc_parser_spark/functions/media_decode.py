@@ -1066,19 +1066,37 @@ def _decode_vp8l_chunk(body: bytes) -> tuple[int, int, float, str]:
     return w, h, float(luma.mean() / 255.0), "decoded"
 
 
+def _decode_vp8_chunk(body: bytes) -> tuple[int, int, Optional[float], str]:
+    """Lossy VP8 keyframe: REAL pixel decode via functions/vp8.py (RFC
+    6386 from scratch, proven bit-exact vs libwebp in tests/test_vp8.py).
+    mean_luma is the coded Y plane mean — BT.601 luma as the codec stores
+    it (VP8L's figure is computed from full-range RGB; the two are
+    comparable only approximately).  A frame whose declared pixel count
+    exceeds the pure-Python decode budget keeps the old honest seam:
+    real header dimensions, null luma, status 'header_only'."""
+    w, h = _vp8_frame_dims(body)
+    _check_dims(w, h)
+    if w * h > max(_PYLOOP_PX_FLOOR, _PYLOOP_PX_PER_BYTE * len(body)):
+        return w, h, None, "header_only"
+    from doc_parser_spark.functions.vp8 import decode_vp8_frame
+
+    y_plane, _u, _v = decode_vp8_frame(body)
+    return w, h, float(y_plane.mean() / 255.0), "decoded"
+
+
 @_untrusted
 def decode_webp(
     payload: bytes, _depth: int = 0
 ) -> tuple[int, int, Optional[float], str]:
     """WebP bytes → (width, height, mean_luma, status).
 
-    VP8L (lossless) decodes fully → status 'decoded'; lossy VP8 yields real
-    dimensions with a null luma → status 'header_only' (the honest seam:
-    VP8 pixel decode is boolean-coder + DCT + loop filter — a codec
-    library's job). VP8X extended files: the FIRST frame decodes (an ANMF
-    animation frame's sub-chunks are walked too); a container with only
-    metadata/alpha chunks falls back to the VP8X canvas dimensions as
-    'header_only'.
+    VP8L (lossless) AND lossy VP8 both decode fully → status 'decoded'
+    (VP8 pixel decode is functions/vp8.py — boolean coder, DCT, loop
+    filter, from scratch per RFC 6386); an over-budget lossy frame
+    degrades to real dimensions with a null luma → 'header_only'. VP8X
+    extended files: the FIRST frame decodes (an ANMF animation frame's
+    sub-chunks are walked too); a container with only metadata/alpha
+    chunks falls back to the VP8X canvas dimensions as 'header_only'.
     """
     if not is_webp(payload):
         raise MediaDecodeError("not a WebP")
@@ -1087,9 +1105,7 @@ def decode_webp(
         if fourcc == b"VP8L":
             return _decode_vp8l_chunk(body)
         if fourcc == b"VP8 ":
-            w, h = _vp8_frame_dims(body)
-            _check_dims(w, h)
-            return w, h, None, "header_only"
+            return _decode_vp8_chunk(body)
         if fourcc == b"VP8X" and len(body) >= 10:
             # 4 flag bytes, then 24-bit canvas width-1 / height-1 (LE)
             cw = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))

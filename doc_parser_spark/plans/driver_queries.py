@@ -3905,6 +3905,31 @@ ORACLES["m9_mp3_meta"] = ORACLE_M9_MP3
 
 
 # ===========================================================================
+# batch 28d — REAL lossy-WebP decode (from-scratch VP8 keyframe decoder,
+# functions/vp8.py: boolean coder, token trees, WHT/IDCT, intra
+# prediction, loop filter — proven bit-exact vs libwebp in
+# tests/test_vp8.py). The builder emits a uniform-luma frame via the
+# Y2/WHT cascade (sources/synth_webp.encode_vp8_flat), so mean_luma has
+# the closed form V/255 with V = 40 + (doc_id*13) % 180; V*2000/51 has an
+# odd denominator, so the 4-dp round can never hit a cross-engine
+# halfway case (float checklist, CLAUDE.md).
+# ===========================================================================
+q_m10_webp_lossy = _media_query("image", "build_webp_lossy", _q_m1)
+
+ORACLE_M10_WEBP_LOSSY = """
+SELECT doc_id::BIGINT AS doc_id,
+       (32 + (doc_id % 5) * 16)::INT AS width,
+       (16 + (doc_id % 3) * 16)::INT AS height,
+       round((40 + (doc_id * 13) % 180) / 255.0, 4) AS mean_luma,
+       'decoded' AS decode_status
+FROM documents
+"""
+
+QUERIES["m10_webp_lossy"] = q_m10_webp_lossy
+ORACLES["m10_webp_lossy"] = ORACLE_M10_WEBP_LOSSY
+
+
+# ===========================================================================
 # batch 29 — substring-level exact dedup (Lee et al. 2022 family: token
 # spans whose every k-gram repeats corpus-wide, merged per doc) + the
 # per-doc duplicated-token fraction signal

@@ -554,4 +554,7 @@ def build_mp3(doc_id: int) -> bytes:
 
 # WebP builder lives in its own module (the VP8L encoder is sizeable);
 # re-exported here so _media_query-style getattr dispatch finds it
-from doc_parser_spark.sources.synth_webp import build_webp  # noqa: E402,F401
+from doc_parser_spark.sources.synth_webp import (  # noqa: E402,F401
+    build_webp,
+    build_webp_lossy,
+)

@@ -552,3 +552,226 @@ def build_webp(doc_id: int) -> bytes:
     return encode_webp(
         img, subtract_green=True, cache_bits=4, use_lz77=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimal lossy VP8 keyframe encoder (RFC 6386) — the counterpart of
+# functions/vp8.py, same role this module's VP8L encoder plays for
+# functions/vp8l.py: deterministic closed-form oracle streams with no
+# external codec.  Scope is deliberately tiny but spec-valid: every MB is
+# 16x16 DC_PRED / chroma DC with all-zero residuals EXCEPT macroblock
+# (0,0), which carries a single Y2 DC coefficient chosen so the decoded
+# frame is a uniform luma V (the Y2/WHT cascade is the one arithmetic
+# path a flat image can exercise end-to-end):
+#   v2 = 8*(V-128) - 4 at qi=0 (y2dc quant = 8) decodes to
+#   dc16 = (v2*8+3)>>3 = 8(V-128)-4, residual = (dc16+4)>>3 = V-128
+#   on a 128 DC prediction -> V everywhere; all later MBs skip (their DC
+#   prediction already reads V).  Streams decode identically in
+#   functions/vp8.py and libwebp (asserted by tests/test_vp8.py).
+# ---------------------------------------------------------------------------
+
+
+class _VP8BoolEnc:
+    """RFC 6386 §7.3 boolean encoder (carry-propagating byte list)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.count = -24
+        self.buf = bytearray()
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        shift = 0
+        r = self.range
+        while r < 128:
+            r <<= 1
+            shift += 1
+        self.range = r
+        self.count += shift
+        if self.count >= 0:
+            offset = shift - self.count
+            if (self.low << (offset - 1)) & 0x80000000:
+                x = len(self.buf) - 1
+                while x >= 0 and self.buf[x] == 0xFF:
+                    self.buf[x] = 0
+                    x -= 1
+                self.buf[x] += 1
+            self.buf.append((self.low >> (24 - offset)) & 0xFF)
+            self.low = (self.low << offset) & 0xFFFFFF
+            shift = self.count
+            self.count -= 8
+        self.low = (self.low << shift) & 0xFFFFFFFF
+
+    def literal(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put(128, (value >> i) & 1)
+
+    def stop(self) -> bytes:
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.buf)
+
+
+def _put_flag_val(enc, value, nbits):
+    """Header 'flag + L(n) + sign' field; flag 0 when value == 0."""
+    if value == 0:
+        enc.put(128, 0)
+    else:
+        enc.put(128, 1)
+        enc.literal(abs(value), nbits)
+        enc.put(128, 1 if value < 0 else 0)
+
+
+def _put_coeff_token(enc, probs_row, value):
+    """Write one coefficient token (tree path + extra bits + sign) with
+    the §13.2 token tree.  probs_row: the 11 probs for this band/ctx."""
+    from doc_parser_spark.functions.vp8_tables import CAT_PROBS
+
+    v = abs(value)
+    enc.put(probs_row[0], 1)  # not EOB
+    if v == 0:
+        enc.put(probs_row[1], 0)
+        return
+    enc.put(probs_row[1], 1)
+    if v == 1:
+        enc.put(probs_row[2], 0)
+    else:
+        enc.put(probs_row[2], 1)
+        if v <= 4:
+            enc.put(probs_row[3], 0)
+            if v == 2:
+                enc.put(probs_row[4], 0)
+            else:
+                enc.put(probs_row[4], 1)
+                enc.put(probs_row[5], v == 4)
+        else:
+            enc.put(probs_row[3], 1)
+            for cat in range(6):
+                base, cps = CAT_PROBS[cat]
+                hi = base + (1 << len(cps)) - 1
+                if v <= hi or cat == 5:
+                    break
+            if cat < 2:
+                enc.put(probs_row[6], 0)
+                enc.put(probs_row[7], cat == 1)
+            elif cat < 4:
+                enc.put(probs_row[6], 1)
+                enc.put(probs_row[8], 0)
+                enc.put(probs_row[9], cat == 3)
+            else:
+                enc.put(probs_row[6], 1)
+                enc.put(probs_row[8], 1)
+                enc.put(probs_row[10], cat == 5)
+            base, cps = CAT_PROBS[cat]
+            extra = v - base
+            for i, cp in enumerate(cps):
+                enc.put(cp, (extra >> (len(cps) - 1 - i)) & 1)
+    enc.put(128, 1 if value < 0 else 0)
+
+
+def _put_eob(enc, probs_row):
+    enc.put(probs_row[0], 0)
+
+
+def encode_vp8_flat(width: int, height: int, luma: int,
+                    n_parts: int = 1) -> bytes:
+    """Encode a uniform-luma (chroma 128) VP8 keyframe -> ``VP8 `` chunk
+    body.  Decodes to exactly Y=luma everywhere (see module comment)."""
+    from doc_parser_spark.functions.vp8_tables import (
+        DEFAULT_COEFF_PROBS,
+        COEFF_UPDATE_PROBS,
+        COEFF_BANDS,
+    )
+
+    if not (0 < width <= 0x3FFF and 0 < height <= 0x3FFF):
+        raise ValueError("bad dims")
+    if not (16 <= luma <= 240):
+        raise ValueError("luma out of exactly-representable range")
+    mb_w, mb_h = (width + 15) // 16, (height + 15) // 16
+
+    # --- first partition: frame header + per-MB modes
+    enc = _VP8BoolEnc()
+    enc.put(128, 0)  # color_space
+    enc.put(128, 0)  # clamping_type
+    enc.put(128, 0)  # segmentation_enabled
+    enc.put(128, 0)  # filter_type: normal (level 0 -> unused)
+    enc.literal(0, 6)  # filter_level 0: no loop filter
+    enc.literal(0, 3)  # sharpness
+    enc.put(128, 0)  # lf_delta_enabled
+    log2p = {1: 0, 2: 1, 4: 2, 8: 3}[n_parts]
+    enc.literal(log2p, 2)
+    enc.literal(0, 7)  # y_ac_qi = 0 -> y2dc quant = 2*dc_q[0] = 8
+    for _ in range(5):
+        enc.put(128, 0)  # all quant deltas absent
+    enc.put(128, 1)  # refresh_entropy_probs
+    for t in range(4):  # no coefficient probability updates
+        for b in range(8):
+            for c in range(3):
+                for l in range(11):
+                    enc.put(COEFF_UPDATE_PROBS[t][b][c][l], 0)
+    enc.put(128, 1)  # mb_no_coeff_skip: per-MB skip flags present
+    enc.literal(128, 8)  # prob_skip_false
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            first = mb_y == 0 and mb_x == 0
+            enc.put(128, 0 if first else 1)  # mb_skip_coeff
+            # ymode DC_PRED via kf tree: bits 1,0,0 at probs 145,156,163
+            enc.put(145, 1)
+            enc.put(156, 0)
+            enc.put(163, 0)
+            enc.put(142, 0)  # uv mode DC_PRED
+    part1 = enc.stop()
+
+    # --- token partitions: only MB (0,0) (row 0 -> partition 0) has tokens
+    v2 = 8 * (luma - 128) - 4
+    tokens = [_VP8BoolEnc() for _ in range(n_parts)]
+    te = tokens[0]
+    y2_probs = DEFAULT_COEFF_PROBS[1]
+    if v2 != 0:
+        _put_coeff_token(te, y2_probs[COEFF_BANDS[0]][0], v2)
+        _put_eob(te, y2_probs[COEFF_BANDS[1]][2])
+    else:
+        _put_eob(te, y2_probs[COEFF_BANDS[0]][0])
+    y_probs = DEFAULT_COEFF_PROBS[0]  # luma-after-y2, first coeff = 1
+    for _ in range(16):
+        _put_eob(te, y_probs[COEFF_BANDS[1]][0])
+    uv_probs = DEFAULT_COEFF_PROBS[2]
+    for _ in range(8):
+        _put_eob(te, uv_probs[COEFF_BANDS[0]][0])
+    token_bytes = [t.stop() for t in tokens]
+
+    # --- assemble: uncompressed header + part1 + size table + tokens
+    tag = (len(part1) << 5) | (1 << 4)  # keyframe, version 0, show_frame
+    head = bytes(
+        (tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF, 0x9D, 0x01, 0x2A,
+         width & 0xFF, width >> 8, height & 0xFF, height >> 8)
+    )
+    sizes = b"".join(
+        struct.pack("<I", len(tb))[:3] for tb in token_bytes[:-1]
+    )
+    return head + part1 + sizes + b"".join(token_bytes)
+
+
+def encode_webp_lossy(width: int, height: int, luma: int,
+                      n_parts: int = 1) -> bytes:
+    body = encode_vp8_flat(width, height, luma, n_parts)
+    if len(body) & 1:
+        body += b"\0"
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", len(body)) + body)
+
+
+def build_webp_lossy(doc_id: int) -> bytes:
+    """Deterministic lossy-WebP bytes for the m10 oracle: dims and luma
+    are closed-form in doc_id, so the expected (w, h, mean_luma) is
+    computable in SQL with no decoding."""
+    w = 32 + (doc_id % 5) * 16
+    h = 16 + (doc_id % 3) * 16
+    luma = 40 + (doc_id * 13) % 180
+    return encode_webp_lossy(w, h, luma)

@@ -136,6 +136,7 @@ def _check_image(out):
         ("mp4", synth_media.build_mp4, parse_mp4_meta, None),
         ("avi", synth_media.build_avi, decode_avi_mjpeg, None),
         ("webp", synth_media.build_webp, decode_webp, None),
+        ("webp_lossy", synth_media.build_webp_lossy, decode_webp, None),
     ],
 )
 def test_media_decoder_corruption(name, builder, decoder, check):
@@ -143,8 +144,13 @@ def test_media_decoder_corruption(name, builder, decoder, check):
 
 
 def test_reference_webp_corruption():
+    """Round 5: the fixture fully pixel-decodes now, so a corrupted-but-
+    still-valid stream costs seconds of real decode — the broad bit-flip
+    schedule lives on the small synth lossy stream above; here the big
+    reference fixture gets every truncation (all fail fast at the RIFF
+    chunk walk or a partition bound) plus a handful of flips."""
     payload = (REF / "tests/data/webp/webp-test.webp").read_bytes()
-    _sweep_hard(decode_webp, payload, MediaDecodeError, n_flips=60,
+    _sweep_hard(decode_webp, payload, MediaDecodeError, n_flips=6,
                 n_truncs=15)
 
 
@@ -356,6 +362,29 @@ class TestDeclaredDimensionBombs:
         riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP"
                 + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l)
         self._timed(decode_webp, riff)
+
+    def test_webp_lossy_dimension_bomb(self):
+        """A ~60-byte lossy stream declaring 8191x8191: functions/vp8.py
+        refuses it on the CPU budget; decode_webp degrades it to the
+        honest header_only row instead of erroring (dims are real header
+        data), and must do so instantly."""
+        import time
+
+        from doc_parser_spark.functions.media_decode import decode_webp
+        from doc_parser_spark.functions.vp8 import decode_vp8_frame
+        from doc_parser_spark.sources.synth_webp import encode_vp8_flat
+
+        body = bytearray(encode_vp8_flat(16, 16, 100))
+        body[6], body[7] = 0xFF, 0x1F
+        body[8], body[9] = 0xFF, 0x1F
+        self._timed(decode_vp8_frame, bytes(body))
+        if len(body) & 1:
+            body += b"\0"
+        riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+                + b"VP8 " + struct.pack("<I", len(body)) + bytes(body))
+        t0 = time.monotonic()
+        assert decode_webp(riff) == (8191, 8191, None, "header_only")
+        assert time.monotonic() - t0 < 2.0
 
     def test_jpeg_dimension_bomb(self):
         # SOI + SOF0 declaring 8192x8192 in a <64-byte stream: rejected at

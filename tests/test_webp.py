@@ -158,14 +158,16 @@ class TestContainer:
         assert (w, h, status) == (6, 4, "decoded")
         assert luma == pytest.approx(128 / 255.0, abs=1e-9)
 
-    def test_reference_lossy_fixture_header_path(self):
-        """The reference's own webp fixture is a lossy VP8 keyframe: real
-        dims (pinned by its docling_v2 groundtruth: size 2000.0 x 2829.0),
-        null luma, honest 'header_only' status."""
+    def test_reference_lossy_fixture_full_decode(self):
+        """The reference's own webp fixture is a lossy VP8 keyframe: dims
+        pinned by its docling_v2 groundtruth (size 2000.0 x 2829.0) and,
+        since round 5, REAL pixel decode via functions/vp8.py — the mean
+        coded-luma value is pinned here (bit-exact decoder, proven vs
+        libwebp in tests/test_vp8.py, so this is a stable constant)."""
         w, h, luma, status = decode_webp(REF_WEBP.read_bytes())
         assert (w, h) == (2000, 2829)
-        assert luma is None
-        assert status == "header_only"
+        assert status == "decoded"
+        assert luma == pytest.approx(0.9150898564586669, abs=1e-12)
 
     def test_build_webp_closed_form(self):
         for doc_id in (0, 1, 6, 34, 1009):
@@ -189,8 +191,11 @@ class TestContainer:
 
         w, h, luma, status = _stdlib_decode_image(build_webp(3))
         assert status == "decoded" and (w, h) == (19, 15)
-        w, h, luma, status = _stdlib_decode_image(REF_WEBP.read_bytes())
-        assert status == "header_only" and (w, h) == (2000, 2829)
+        from doc_parser_spark.sources.synth_webp import encode_webp_lossy
+
+        w, h, luma, status = _stdlib_decode_image(encode_webp_lossy(32, 16, 90))
+        assert status == "decoded" and (w, h) == (32, 16)
+        assert luma == pytest.approx(90 / 255.0, abs=1e-12)
 
 
 class TestHypothesisRoundtrip:
