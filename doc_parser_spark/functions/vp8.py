@@ -575,91 +575,155 @@ def _pred4(mode, A, L, P, AR):
     return o
 
 # --- loop filter (§15) ------------------------------------------------------
-# All filter math runs on int32 arrays in the signed domain (pixel - 128),
-# vectorized across the 16 (luma) or 8 (chroma) pixel lines of an edge.
+# All filter math runs on int16 arrays in the signed domain (pixel - 128),
+# vectorized across the pixel lines of one or MORE edges: edges of the Y/U/V
+# planes at the same MB position share every filter parameter and touch
+# disjoint memory, so they stack side-by-side into ONE (8, n_total) slab —
+# the normative §15.2 raster order only constrains edges of the SAME plane.
+# (This call-batching plus raw-ufunc arithmetic is what makes the filter —
+# formerly ~75% of frame decode time — affordable in pure numpy; the per-MB
+# loop itself is irreducible: each edge reads pixels the previous edge wrote.)
 
 
 def _c128(x):
-    return np.clip(x, -128, 127)
-
-
-def _filter_mask(limit, ilim, p3, p2, p1, p0, q0, q1, q2, q3):
-    m = (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= limit
-    for a, b in ((p3, p2), (p2, p1), (p1, p0), (q1, q0), (q2, q1), (q3, q2)):
-        m &= np.abs(a - b) <= ilim
-    return m
-
-
-def _hev_mask(thresh, p1, p0, q0, q1):
-    return (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+    """Clamp a fresh int16 temporary to [-128, 127] in place (ufunc calls —
+    np.clip's dispatch overhead dominates small-array filter math)."""
+    np.minimum(x, 127, out=x)
+    np.maximum(x, -128, out=x)
+    return x
 
 
 def _normal_filter(px, mb_edge, limit, ilim, hev_t):
-    """px: int32 array (8, n) of signed pixel lines [p3..p0, q0..q3]
+    """px: int16 array (8, n) of signed pixel lines [p3..p0, q0..q3]
     ACROSS the edge; filtered in place."""
-    p3, p2, p1, p0, q0, q1, q2, q3 = (px[i] for i in range(8))
-    mask = _filter_mask(limit, ilim, p3, p2, p1, p0, q0, q1, q2, q3)
-    hev = _hev_mask(hev_t, p1, p0, q0, q1)
+    rawd = px[1:] - px[:-1]  # rows: p2-p3, p1-p2, p0-p1, q0-p0, …, q3-q2
+    ad = np.abs(rawd)
+    inner = np.maximum(ad[0], ad[1])
+    np.maximum(inner, ad[2], out=inner)
+    np.maximum(inner, ad[4], out=inner)
+    np.maximum(inner, ad[5], out=inner)
+    np.maximum(inner, ad[6], out=inner)
+    p1q1 = px[2] - px[5]
+    mask = (ad[3] * 2 + (np.abs(p1q1) >> 1) <= limit) & (inner <= ilim)
+    hev = (ad[2] > hev_t) | (ad[4] > hev_t)
+    _c128(p1q1)
     if mb_edge:
-        w = _c128(_c128(p1 - q1) + 3 * (q0 - p0)) * mask
+        w = _c128(p1q1 + rawd[3] * 3)
+        w *= mask
         whev = w * hev  # hev lines: narrow filter with outer tap
-        f1 = _c128(whev + 4) >> 3
-        f2 = _c128(whev + 3) >> 3
-        q0n = _c128(q0 - f1)
-        p0n = _c128(p0 + f2)
-        w = w * ~hev  # non-hev lines: 27/18/9 wide taps
-        a = _c128((27 * w + 63) >> 7)
+        f1 = _c128(whev + 4)
+        f1 >>= 3
+        f2 = _c128(whev + 3)
+        f2 >>= 3
+        q0n = _c128(px[4] - f1)
+        p0n = _c128(px[3] + f2)
+        w *= ~hev  # non-hev lines: 27/18/9 wide taps
+        # (k*w + 63) >> 7 for k <= 27, |w| <= 128 stays within [-27, 27]:
+        # the spec's post-shift clamp is a no-op, dropped
+        a = (27 * w + 63) >> 7
         px[4] = _c128(q0n - a)
         px[3] = _c128(p0n + a)
-        a = _c128((18 * w + 63) >> 7)
-        px[5] = _c128(q1 - a)
-        px[2] = _c128(p1 + a)
-        a = _c128((9 * w + 63) >> 7)
-        px[6] = _c128(q2 - a)
-        px[1] = _c128(p2 + a)
+        a = (18 * w + 63) >> 7
+        px[5] = _c128(px[5] - a)
+        px[2] = _c128(px[2] + a)
+        a = (9 * w + 63) >> 7
+        px[6] = _c128(px[6] - a)
+        px[1] = _c128(px[1] + a)
     else:
-        w = _c128(_c128(p1 - q1) * hev + 3 * (q0 - p0)) * mask
-        f1 = _c128(w + 4) >> 3
-        f2 = _c128(w + 3) >> 3
-        px[4] = _c128(q0 - f1)
-        px[3] = _c128(p0 + f2)
-        f = ((f1 + 1) >> 1) * ~hev
-        px[5] = _c128(q1 - f)
-        px[2] = _c128(p1 + f)
+        p1q1 *= hev
+        w = _c128(p1q1 + rawd[3] * 3)
+        w *= mask
+        f1 = _c128(w + 4)
+        f1 >>= 3
+        f2 = _c128(w + 3)
+        f2 >>= 3
+        px[4] = _c128(px[4] - f1)
+        px[3] = _c128(px[3] + f2)
+        f1 += 1
+        f1 >>= 1
+        f1 *= ~hev
+        px[5] = _c128(px[5] - f1)
+        px[2] = _c128(px[2] + f1)
 
 
 def _simple_filter(px, limit):
     """§15.1 simple filter: luma only, p0/q0 only, always outer taps.
     px rows are [p1, p0, q0, q1]."""
-    p1, p0, q0, q1 = px[0], px[1], px[2], px[3]
-    mask = (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= limit
-    w = _c128(_c128(p1 - q1) + 3 * (q0 - p0)) * mask
-    px[2] = _c128(q0 - (_c128(w + 4) >> 3))
-    px[1] = _c128(p0 + (_c128(w + 3) >> 3))
+    p1q1 = px[0] - px[3]
+    q0p0 = px[2] - px[1]
+    mask = (np.abs(q0p0) * 2 + (np.abs(p1q1) >> 1)) <= limit
+    w = _c128(_c128(p1q1) + q0p0 * 3)
+    w *= mask
+    f1 = _c128(w + 4)
+    f1 >>= 3
+    f2 = _c128(w + 3)
+    f2 >>= 3
+    px[2] = _c128(px[2] - f1)
+    px[1] = _c128(px[1] + f2)
+
+
+def _filter_v_batch(segs, mb_edge, limit, ilim, hev_t):
+    """Normal-filter the vertical edges (plane, y0, x, n) in segs as one
+    stacked (8, sum n) slab; planes in segs must be distinct."""
+    total = 0
+    for _, _, _, n in segs:
+        total += n
+    px = np.empty((8, total), np.int16)
+    off = 0
+    for plane, y0, x, n in segs:
+        px[:, off:off + n] = plane[y0:y0 + n, x - 4:x + 4].T
+        off += n
+    px -= 128
+    _normal_filter(px, mb_edge, limit, ilim, hev_t)
+    px += 128
+    off = 0
+    for plane, y0, x, n in segs:
+        plane[y0:y0 + n, x - 4:x + 4] = px[:, off:off + n].T
+        off += n
+
+
+def _filter_h_batch(segs, mb_edge, limit, ilim, hev_t):
+    """Normal-filter the horizontal edges (plane, y, x0, n) in segs as one
+    stacked (8, sum n) slab; planes in segs must be distinct."""
+    total = 0
+    for _, _, _, n in segs:
+        total += n
+    px = np.empty((8, total), np.int16)
+    off = 0
+    for plane, y, x0, n in segs:
+        px[:, off:off + n] = plane[y - 4:y + 4, x0:x0 + n]
+        off += n
+    px -= 128
+    _normal_filter(px, mb_edge, limit, ilim, hev_t)
+    px += 128
+    off = 0
+    for plane, y, x0, n in segs:
+        plane[y - 4:y + 4, x0:x0 + n] = px[:, off:off + n]
+        off += n
 
 
 def _filter_v_edge(plane, y0, x, n, simple, mb_edge, limit, ilim, hev_t):
     """Filter across the vertical edge at column x (pixels x-4..x+3)."""
     if simple:
-        px = plane[y0:y0 + n, x - 2:x + 2].astype(np.int32).T - 128
+        px = plane[y0:y0 + n, x - 2:x + 2].T.astype(np.int16)
+        px -= 128
         _simple_filter(px, limit)
-        plane[y0:y0 + n, x - 2:x + 2] = (px.T + 128).astype(np.uint8)
+        px += 128
+        plane[y0:y0 + n, x - 2:x + 2] = px.T
     else:
-        px = plane[y0:y0 + n, x - 4:x + 4].astype(np.int32).T - 128
-        _normal_filter(px, mb_edge, limit, ilim, hev_t)
-        plane[y0:y0 + n, x - 4:x + 4] = (px.T + 128).astype(np.uint8)
+        _filter_v_batch(((plane, y0, x, n),), mb_edge, limit, ilim, hev_t)
 
 
 def _filter_h_edge(plane, y, x0, n, simple, mb_edge, limit, ilim, hev_t):
     """Filter across the horizontal edge at row y (pixels y-4..y+3)."""
     if simple:
-        px = plane[y - 2:y + 2, x0:x0 + n].astype(np.int32) - 128
+        px = plane[y - 2:y + 2, x0:x0 + n].astype(np.int16)
+        px -= 128
         _simple_filter(px, limit)
-        plane[y - 2:y + 2, x0:x0 + n] = (px + 128).astype(np.uint8)
+        px += 128
+        plane[y - 2:y + 2, x0:x0 + n] = px
     else:
-        px = plane[y - 4:y + 4, x0:x0 + n].astype(np.int32) - 128
-        _normal_filter(px, mb_edge, limit, ilim, hev_t)
-        plane[y - 4:y + 4, x0:x0 + n] = (px + 128).astype(np.uint8)
+        _filter_h_batch(((plane, y, x0, n),), mb_edge, limit, ilim, hev_t)
 
 
 def _loop_filter(Y, U, V, hdr, segments, ymodes, has_coeffs):
@@ -694,41 +758,42 @@ def _loop_filter(Y, U, V, hdr, segments, ymodes, has_coeffs):
             inner = has_coeffs[i] or ymodes[i] == B_PRED
             y0, x0 = mb_y * 16, mb_x * 16
             cy0, cx0 = mb_y * 8, mb_x * 8
-            # all vertical edges first, then horizontal (§15.1 order)
+            # all vertical edges first, then horizontal (§15.1 order);
+            # Y/U/V edges sharing parameters stack into one filter call
             if mb_x > 0:
-                _filter_v_edge(Y, y0, x0, 16, simple, True, lim_mb, ilim,
-                               hev_t)
-                if not simple:
-                    _filter_v_edge(U, cy0, cx0, 8, False, True, lim_mb,
+                if simple:
+                    _filter_v_edge(Y, y0, x0, 16, True, True, lim_mb,
                                    ilim, hev_t)
-                    _filter_v_edge(V, cy0, cx0, 8, False, True, lim_mb,
-                                   ilim, hev_t)
+                else:
+                    _filter_v_batch(
+                        ((Y, y0, x0, 16), (U, cy0, cx0, 8),
+                         (V, cy0, cx0, 8)),
+                        True, lim_mb, ilim, hev_t)
             if inner:
                 for dx in (4, 8, 12):
                     _filter_v_edge(Y, y0, x0 + dx, 16, simple, False,
                                    lim_sub, ilim, hev_t)
                 if not simple:
-                    _filter_v_edge(U, cy0, cx0 + 4, 8, False, False,
-                                   lim_sub, ilim, hev_t)
-                    _filter_v_edge(V, cy0, cx0 + 4, 8, False, False,
-                                   lim_sub, ilim, hev_t)
+                    _filter_v_batch(
+                        ((U, cy0, cx0 + 4, 8), (V, cy0, cx0 + 4, 8)),
+                        False, lim_sub, ilim, hev_t)
             if mb_y > 0:
-                _filter_h_edge(Y, y0, x0, 16, simple, True, lim_mb, ilim,
-                               hev_t)
-                if not simple:
-                    _filter_h_edge(U, cy0, cx0, 8, False, True, lim_mb,
+                if simple:
+                    _filter_h_edge(Y, y0, x0, 16, True, True, lim_mb,
                                    ilim, hev_t)
-                    _filter_h_edge(V, cy0, cx0, 8, False, True, lim_mb,
-                                   ilim, hev_t)
+                else:
+                    _filter_h_batch(
+                        ((Y, y0, x0, 16), (U, cy0, cx0, 8),
+                         (V, cy0, cx0, 8)),
+                        True, lim_mb, ilim, hev_t)
             if inner:
                 for dy in (4, 8, 12):
                     _filter_h_edge(Y, y0 + dy, x0, 16, simple, False,
                                    lim_sub, ilim, hev_t)
                 if not simple:
-                    _filter_h_edge(U, cy0 + 4, cx0, 8, False, False,
-                                   lim_sub, ilim, hev_t)
-                    _filter_h_edge(V, cy0 + 4, cx0, 8, False, False,
-                                   lim_sub, ilim, hev_t)
+                    _filter_h_batch(
+                        ((U, cy0 + 4, cx0, 8), (V, cy0 + 4, cx0, 8)),
+                        False, lim_sub, ilim, hev_t)
 
 
 # --- frame reconstruction ---------------------------------------------------
