@@ -154,6 +154,19 @@ def test_reference_webp_corruption():
                 n_truncs=15)
 
 
+def test_filtered_lossy_webp_corruption():
+    """Full corruption schedule on the checked-in libwebp-encoded stream
+    (tests/data/webp_lossy_filtered.webp, normal loop filter level 10):
+    the synth lossy streams in the parametrized sweep above all carry
+    filter_level 0, so this is the sweep that drives corrupt bits through
+    the filter, token-tree, and intra-prediction paths of the VP8
+    decoder."""
+    payload = (Path(__file__).parent
+               / "data" / "webp_lossy_filtered.webp").read_bytes()
+    _sweep_hard(decode_webp, payload, MediaDecodeError, n_flips=80,
+                n_truncs=25)
+
+
 def test_reference_jpeg_corruption():
     payload = REF_JPEG.read_bytes()
     _sweep_hard(decode_jpeg, payload, MediaDecodeError, n_flips=60,

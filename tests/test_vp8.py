@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -33,6 +34,7 @@ from doc_parser_spark.functions.vp8 import (
     _BoolDec,
     _idct4x4_batch,
     _iwht4x4,
+    _parse_header,
     decode_vp8_frame,
 )
 from doc_parser_spark.sources.synth_webp import (
@@ -317,6 +319,22 @@ class TestSynthNoOracle:
         w, h, luma, status = decode_webp(encode_webp_lossy(40, 24, 77))
         assert (w, h, status) == (40, 24, "decoded")
         assert luma == pytest.approx(77 / 255.0, abs=1e-12)
+
+    def test_filtered_fixture_pinned(self):
+        """tests/data/webp_lossy_filtered.webp: a checked-in libwebp-
+        encoded stream (96x128 blocky random image at q=60) that runs the
+        NORMAL loop filter at level 10 — the synth flat streams above all
+        carry filter_level 0, so this is the one libwebp-free regression
+        anchor for the filter arithmetic (mean luma pinned from the
+        decode that passed the ctypes plane-parity matrix)."""
+        data = (Path(__file__).parent
+                / "data" / "webp_lossy_filtered.webp").read_bytes()
+        body = dict(_webp_chunks(data))[b"VP8 "]
+        hdr, _ = _parse_header(body)
+        assert hdr.filter_level == 10 and not hdr.filter_simple
+        w, h, luma, status = decode_webp(data)
+        assert (w, h, status) == (128, 96, "decoded")
+        assert luma == pytest.approx(0.48000025531045754, abs=1e-12)
 
     def test_build_webp_lossy_closed_form(self):
         for doc_id in (0, 1, 6, 34, 1009):
