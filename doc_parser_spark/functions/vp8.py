@@ -426,27 +426,32 @@ def _idct4x4_batch(blocks: np.ndarray) -> np.ndarray:
 
 
 def _iwht4x4(coeffs: np.ndarray) -> np.ndarray:
-    """Inverse WHT of the Y2 block -> 16 luma-subblock DCs (raster)."""
-    ip = coeffs.astype(np.int64).reshape(4, 4)
-    a1 = ip[0] + ip[3]
-    b1 = ip[1] + ip[2]
-    c1 = ip[1] - ip[2]
-    d1 = ip[0] - ip[3]
-    t = np.empty((4, 4), np.int64)
-    t[0] = a1 + b1
-    t[1] = c1 + d1
-    t[2] = a1 - b1
-    t[3] = d1 - c1
-    a1 = t[:, 0] + t[:, 3]
-    b1 = t[:, 1] + t[:, 2]
-    c1 = t[:, 1] - t[:, 2]
-    d1 = t[:, 0] - t[:, 3]
-    out = np.empty((4, 4), np.int64)
-    out[:, 0] = (a1 + b1 + 3) >> 3
-    out[:, 1] = (c1 + d1 + 3) >> 3
-    out[:, 2] = (a1 - b1 + 3) >> 3
-    out[:, 3] = (d1 - c1 + 3) >> 3
-    return out.reshape(16)
+    """Inverse WHT of the Y2 block -> 16 luma-subblock DCs (raster).
+    Pure-python butterflies: one 4x4 of small ints sits far below numpy's
+    per-op dispatch floor, so the scalar form is ~4x faster (python >> on
+    negatives floors, same as numpy's arithmetic shift)."""
+    ip = coeffs.tolist()
+    t = [0] * 16
+    for i in range(4):  # columns
+        a1 = ip[i] + ip[12 + i]
+        b1 = ip[4 + i] + ip[8 + i]
+        c1 = ip[4 + i] - ip[8 + i]
+        d1 = ip[i] - ip[12 + i]
+        t[i] = a1 + b1
+        t[4 + i] = c1 + d1
+        t[8 + i] = a1 - b1
+        t[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(0, 16, 4):  # rows
+        a1 = t[i] + t[i + 3]
+        b1 = t[i + 1] + t[i + 2]
+        c1 = t[i + 1] - t[i + 2]
+        d1 = t[i] - t[i + 3]
+        out[i] = (a1 + b1 + 3) >> 3
+        out[i + 1] = (c1 + d1 + 3) >> 3
+        out[i + 2] = (a1 - b1 + 3) >> 3
+        out[i + 3] = (d1 - c1 + 3) >> 3
+    return np.fromiter(out, np.int64, 16)
 
 
 # --- intra prediction (§12) -------------------------------------------------
@@ -810,10 +815,9 @@ def _add_residual(plane, y0, x0, pred, blocks, nz_dc_blocks):
         for k, bi in enumerate(live):
             r, c = (bi // per_row) * 4, (bi % per_row) * 4
             pred[r:r + 4, c:c + 4] += res[k].astype(np.int32)
-    np.clip(pred, 0, 255, out=pred)
-    plane[y0:y0 + pred.shape[0], x0:x0 + pred.shape[1]] = pred.astype(
-        np.uint8
-    )
+    np.minimum(pred, 255, out=pred)
+    np.maximum(pred, 0, out=pred)
+    plane[y0:y0 + pred.shape[0], x0:x0 + pred.shape[1]] = pred
 
 
 def decode_vp8_frame(body: bytes):
