@@ -30,7 +30,6 @@ Detection strategy:
 from __future__ import annotations
 
 import re
-import unicodedata
 from statistics import median
 
 from doc_parser_spark.functions.pdf_decode import decode_pdf_layout
@@ -430,5 +429,3 @@ def layout_result_rows(data: bytes) -> list[dict]:
     return [{"chunk_bboxes": layout_regions(data)}]
 
 
-def _strip_marker(text: str) -> str:
-    return unicodedata.normalize("NFC", text).strip()

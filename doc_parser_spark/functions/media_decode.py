@@ -66,10 +66,14 @@ _PYLOOP_PX_PER_BYTE = 512
 _PYLOOP_PX_FLOOR = 1 << 20
 
 
+def _within_cpu_budget(width: int, height: int, data_len: int) -> bool:
+    return width * height <= max(_PYLOOP_PX_FLOOR,
+                                 _PYLOOP_PX_PER_BYTE * data_len)
+
+
 def _check_cpu_budget(width: int, height: int, data_len: int,
                       label: str) -> None:
-    budget = max(_PYLOOP_PX_FLOOR, _PYLOOP_PX_PER_BYTE * data_len)
-    if width * height > budget:
+    if not _within_cpu_budget(width, height, data_len):
         raise MediaDecodeError(
             f"{label}: {width}x{height} exceeds the decode budget for a "
             f"{data_len}-byte stream"
@@ -1076,7 +1080,9 @@ def _decode_vp8_chunk(body: bytes) -> tuple[int, int, Optional[float], str]:
     real header dimensions, null luma, status 'header_only'."""
     w, h = _vp8_frame_dims(body)
     _check_dims(w, h)
-    if w * h > max(_PYLOOP_PX_FLOOR, _PYLOOP_PX_PER_BYTE * len(body)):
+    # same predicate as vp8._parse_header's _check_cpu_budget call, so an
+    # over-budget frame always takes this degrade path, never the error one
+    if not _within_cpu_budget(w, h, len(body)):
         return w, h, None, "header_only"
     from doc_parser_spark.functions.vp8 import decode_vp8_frame
 

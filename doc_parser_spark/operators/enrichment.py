@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Lineage-truncation cadence for the sequential allocation loop: small
+# contract TOCs (max_rank ≤ 8) never checkpoint, so oracle-checked plans
+# are untouched; a large real TOC truncates before plan depth compounds.
+_CHECKPOINT_EVERY = 8
+
 
 def toc_match_back(
     toc: DataFrame,
@@ -82,6 +87,11 @@ def toc_match_back(
             pick.select("doc_id", "cand_j"), ["doc_id", "cand_j"],
             "left_anti",
         )
+        # round i's `remaining` nests all i-1 prior join+agg plans, so
+        # unchecked lineage grows O(max_rank²); truncate it periodically
+        # (same shape as connected_components' per-round localCheckpoint).
+        if rank % _CHECKPOINT_EVERY == 0 and rank < max_rank:
+            remaining = remaining.localCheckpoint(eager=True)
     assert out is not None
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -96,6 +96,38 @@ class CurationStats(dict):
         self._fill()
         return super().values()
 
+    # dict's C-level read paths bypass __getitem__ — each must fill first,
+    # or e.g. stats.get("extracted") before the first action silently
+    # returns None instead of the count.
+    def get(self, key, default=None):
+        self._fill()
+        return super().get(key, default)
+
+    def __eq__(self, other):
+        self._fill()
+        return dict.__eq__(dict(self.items()), other)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    __hash__ = None  # mutable mapping, same as dict
+
+    def copy(self):
+        self._fill()
+        return dict(super().items())
+
+    def pop(self, key, *default):
+        self._fill()
+        return super().pop(key, *default)
+
+    def popitem(self):
+        self._fill()
+        return super().popitem()
+
+    def setdefault(self, key, default=None):
+        self._fill()
+        return super().setdefault(key, default)
+
     def __repr__(self):
         self._fill()
         return dict.__repr__(self)

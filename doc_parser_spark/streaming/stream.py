@@ -12,6 +12,7 @@ tumbling-window pattern (late turns beyond the watermark are dropped).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -134,8 +135,11 @@ def dedup_incremental_stream(
                 id_col, text_col
             )
             corpus = corpus.unionByName(accepted)
-        except Exception:
-            pass  # first batch: nothing accepted yet
+        except AnalysisException:
+            pass  # first batch: accepted_path doesn't exist yet.  Any
+            # OTHER read failure (corrupt parquet, transient IO) must fail
+            # the batch so the checkpoint retries it — swallowing it would
+            # classify prior novels as novel again: a permanent dedup leak.
         mb = mb.persist()
         res = dedup_incremental(
             mb, corpus, id_col, text_col, **dedup_kwargs

@@ -101,3 +101,33 @@ def test_curation_stats_ride_the_single_action(spark, tmp_path):
     # no job ran inside the stats-read group: the metrics came off the write
     assert sc.statusTracker().getJobIdsForGroup("stats-read") == []
     stats.unpersist()
+
+
+def test_curation_stats_dict_c_paths_fill_first(spark):
+    """dict's C-level read paths (get/==/copy/pop/setdefault) bypass
+    __getitem__ — each must trigger the lazy fill, or stats.get('extracted')
+    before the first action silently returns None."""
+    from doc_parser_spark.plans.curate import run_curation
+
+    df = spark.createDataFrame(_corpus())
+    _, stats = run_curation(
+        spark, df, min_quality=0.5, near_dup_jaccard=0.5, max_tokens=200
+    )
+    assert stats.get("extracted") == 11       # was None pre-fix
+    assert stats.get("no_such_stage", -1) == -1
+
+    _, stats2 = run_curation(
+        spark, df, min_quality=0.5, near_dup_jaccard=0.5, max_tokens=200
+    )
+    assert stats2.copy()["quality_kept"] == 9
+    _, stats3 = run_curation(
+        spark, df, min_quality=0.5, near_dup_jaccard=0.5, max_tokens=200
+    )
+    assert stats3 == {
+        "extracted": 11, "quality_kept": 9, "exact_unique": 7,
+        "near_dup_unique": 6, "vectors": stats3["vectors"],
+    }
+    assert stats3.pop("extracted") == 11
+    assert stats3.setdefault("quality_kept", -1) == 9
+    for s in (stats, stats2, stats3):
+        s.unpersist()
