@@ -93,6 +93,85 @@ def dedup_stream(
     )
 
 
+def incremental_dedup_processor(
+    corpus_path: str,
+    accepted_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+):
+    """Build the foreachBatch body for ``dedup_incremental_stream`` —
+    exposed so fault-injection tests can invoke it directly with a
+    replayed ``batch_id`` (the kill/restart shape) without driving a
+    real query through a checkpoint.
+
+    Exactly-once design (foreachBatch itself is only at-least-once):
+
+    - Both sinks are written ``partitionBy(batch_id)`` with DYNAMIC
+      partition overwrite, so a replayed batch REPLACES its own
+      partition instead of appending next to the first attempt's rows —
+      including healing a partially-committed partition from a crash
+      mid-write.
+    - The accepted-corpus read filters to ``batch_id < current``: a
+      replay of batch k must see exactly the pre-k corpus, or the first
+      attempt's accepted novels would make the replay classify the
+      batch's own docs as exact_dup of themselves (a replay-divergence,
+      not just a duplicate row).
+
+    Replay therefore recomputes a bit-identical result (the operator is
+    deterministic: min-id aggregates, content hashes) and overwrites the
+    same partitions — the committed state after any kill/restart sequence
+    equals the single-clean-run state. Proven by a SIGKILL soak
+    (tools/stream_kill_soak.py) and tests/test_streaming_dedup.py.
+    """
+    from doc_parser_spark.operators.dedup import dedup_incremental
+
+    def process(mb: DataFrame, batch_id: int) -> None:
+        spark = mb.sparkSession
+        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        try:
+            accepted = (
+                spark.read.parquet(accepted_path)
+                # replay guard: exclude any rows a crashed first attempt
+                # of THIS batch (or a later uncommitted one) already wrote
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .select(id_col, text_col)
+            )
+            corpus = corpus.unionByName(accepted)
+        except AnalysisException:
+            pass  # first batch: accepted_path doesn't exist yet.  Any
+            # OTHER read failure (corrupt parquet, transient IO) must fail
+            # the batch so the checkpoint retries it — swallowing it would
+            # classify prior novels as novel again: a permanent dedup leak.
+        mb = mb.persist()
+        res = dedup_incremental(
+            mb, corpus, id_col, text_col, **dedup_kwargs
+        ).persist()
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(output_path)
+        )
+        (
+            mb.join(
+                res.where(F.col("status") == "novel").select(id_col), id_col
+            )
+            .select(id_col, text_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(accepted_path)
+        )
+        res.unpersist()
+        mb.unpersist()
+
+    return process
+
+
 def dedup_incremental_stream(
     stream_df: DataFrame,
     corpus_path: str,
@@ -120,46 +199,14 @@ def dedup_incremental_stream(
     At 100 TB the old side's md5 + LSH band indexes are precomputed tables
     maintained by this same loop (dedup_incremental recomputes them from
     text for self-containedness; swapping in materialized index tables
-    changes only the two reads). foreachBatch sinks are at-least-once on
-    task retry: the output carries ``batch_id`` so replays are
-    idempotently collapsible downstream (same pattern as the manifest
-    commits in plans/pipeline.py).
+    changes only the two reads). Sinks are EXACTLY-once under kill/replay
+    — see ``incremental_dedup_processor`` for the mechanism and proof
+    surface.
     """
-    from doc_parser_spark.operators.dedup import dedup_incremental
-
-    def process(mb: DataFrame, batch_id: int) -> None:
-        spark = mb.sparkSession
-        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
-        try:
-            accepted = spark.read.parquet(accepted_path).select(
-                id_col, text_col
-            )
-            corpus = corpus.unionByName(accepted)
-        except AnalysisException:
-            pass  # first batch: accepted_path doesn't exist yet.  Any
-            # OTHER read failure (corrupt parquet, transient IO) must fail
-            # the batch so the checkpoint retries it — swallowing it would
-            # classify prior novels as novel again: a permanent dedup leak.
-        mb = mb.persist()
-        res = dedup_incremental(
-            mb, corpus, id_col, text_col, **dedup_kwargs
-        ).persist()
-        (
-            res.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(output_path)
-        )
-        (
-            mb.join(
-                res.where(F.col("status") == "novel").select(id_col), id_col
-            )
-            .select(id_col, text_col)
-            .write.mode("append")
-            .parquet(accepted_path)
-        )
-        res.unpersist()
-        mb.unpersist()
-
+    process = incremental_dedup_processor(
+        corpus_path, accepted_path, output_path, id_col, text_col,
+        **dedup_kwargs,
+    )
     writer = (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_path)

@@ -124,3 +124,93 @@ def test_cross_batch_statuses(spark, dirs):
 def test_accepted_corpus_contains_exactly_the_novels(spark, dirs):
     acc = spark.read.parquet(str(dirs / "accepted")).toPandas()
     assert sorted(acc["doc_id"].tolist()) == [101, 202]
+
+
+# ---------------------------------------------------------------------------
+# exactly-once under foreachBatch replay (the kill/restart shape)
+# ---------------------------------------------------------------------------
+
+def _processor(root):
+    from doc_parser_spark.streaming.stream import incremental_dedup_processor
+
+    return incremental_dedup_processor(
+        corpus_path=str(root / "corpus"),
+        accepted_path=str(root / "accepted"),
+        output_path=str(root / "out"),
+    )
+
+
+def _fresh_root(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _write(CORPUS, corpus / "corpus.parquet")
+    return tmp_path
+
+
+def _state(spark, root):
+    """(output rows, accepted doc_ids) — the full externally-visible state."""
+    out = (
+        spark.read.parquet(str(root / "out"))
+        .toPandas()
+        .astype(str)
+        .sort_values(["batch_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    acc = sorted(
+        spark.read.parquet(str(root / "accepted")).toPandas()["doc_id"]
+    )
+    return out, acc
+
+
+def test_replay_of_a_committed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a kill between the sink commits
+    and the checkpoint commit, the SAME batch_id replays with both sinks
+    already written.  The replay must (a) not duplicate rows (partition
+    overwrite, not append) and (b) not reclassify the batch's own novels
+    as exact_dup of themselves via the accepted rows the first attempt
+    wrote (the batch_id < current replay guard)."""
+    root = _fresh_root(spark, tmp_path)
+    process = _processor(root)
+    b1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+
+    process(b1, 0)
+    process(b2, 1)
+    clean_out, clean_acc = _state(spark, root)
+
+    # replay both batches (kill-after-commit shape), oldest first
+    process(b1, 0)
+    process(b2, 1)
+    replay_out, replay_acc = _state(spark, root)
+
+    pd.testing.assert_frame_equal(replay_out, clean_out)
+    assert replay_acc == clean_acc == [101, 202]
+    # the decisive assertion: batch 0's novel stayed novel on replay
+    assert (
+        replay_out.set_index("doc_id").loc["101", "status"] == "novel"
+    )
+
+
+def test_replay_heals_partial_commit(spark, tmp_path):
+    """Kill between the two sink writes: output partition committed,
+    accepted partition missing.  The replay must recompute the identical
+    result and leave the same final state as a clean run."""
+    import shutil
+
+    root = _fresh_root(spark, tmp_path)
+    process = _processor(root)
+    b1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+
+    process(b1, 0)
+    # simulate the crash window: accepted side of batch 0 never committed
+    shutil.rmtree(root / "accepted" / "batch_id=0")
+    process(b1, 0)  # checkpoint retries the batch
+    process(b2, 1)
+
+    out, acc = _state(spark, root)
+    assert acc == [101, 202]
+    statuses = out.set_index("doc_id")["status"]
+    assert statuses.loc["101"] == "novel"
+    assert statuses.loc["200"] == "exact_dup"  # cross-batch dup still caught
+    assert len(out) == 5  # no duplicated rows from the two attempts
