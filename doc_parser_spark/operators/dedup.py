@@ -150,6 +150,7 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature, bucket-join on
     (band, bucket-hash), then verify candidates with true Jaccard.
@@ -162,8 +163,42 @@ def lsh_candidate_pairs(
     a quadratic hot bucket over the corpus's short-text tail (such pairs are
     0/0-Jaccard and get filtered later anyway, so dropping them up front
     changes no output). They are filtered BEFORE banding.
+
+    Hot-bucket cap (``max_bucket``): exact-dedup-first kills identical-doc
+    buckets, but a NEAR-identical template family (one changed word per
+    doc) still lands its m members in one bucket per band — m²/2 candidate
+    pairs, the one remaining quadratic shape (round-5 verdict). With
+    ``max_bucket`` set, a (band, bucket) group larger than the cap emits a
+    STAR instead of all pairs: every member pairs with the bucket's min-id
+    hub — m-1 candidates, each still Jaccard-verified. For a true template
+    family (mutually near-dup) the star keeps the downstream
+    connected-components cluster IDENTICAL to all-pairs (connectivity is
+    what clustering consumes; the min-id hub also keeps cluster_id = min
+    member id). Recall is only lost for pairs inside an oversized bucket
+    that are similar to each other but NOT to the hub — at template-family
+    bucket sizes that's a hash-collision artifact, not a dup family, and
+    every document keeps its (bands − 1) other chances to pair normally.
+    Default None preserves exact all-pairs semantics (the oracle-checked
+    contract queries).
     """
     buckets = lsh_buckets(df, id_col, text_col, k, bands, n)
+    if max_bucket is not None:
+        # same shuffle key as the self-join; constant-width rows throughout
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_m"), F.min("id").alias("_hub")
+        )
+        sized = buckets.join(sizes, ["band", "bucket"])
+        small = sized.where(F.col("_m") <= max_bucket).select(
+            "band", "bucket", "id"
+        )
+        star = (
+            sized.where(
+                (F.col("_m") > max_bucket) & (F.col("id") != F.col("_hub"))
+            )
+            # hub = min id, so a_id < b_id holds by construction
+            .select(F.col("_hub").alias("a_id"), F.col("id").alias("b_id"))
+        )
+        buckets = small
     cands = (
         buckets.alias("a")
         .join(
@@ -173,8 +208,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
     )
+    if max_bucket is not None:
+        cands = cands.unionByName(star)
+    cands = cands.distinct()
     sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("id"), "shingles"
     )

@@ -147,6 +147,7 @@ def run_curation(
     near_dup_jaccard: float = 0.7,
     max_tokens: int = 2000,
     boilerplate_mode: str = "reference",
+    lsh_max_bucket: int | None = 1000,
 ) -> tuple[DataFrame, CurationStats]:
     """Returns (vectors DataFrame, per-stage row counts).
 
@@ -187,9 +188,15 @@ def run_curation(
     # 8 bands × 1 row: candidate probability 1-(1-j)^8 ≈ 1.0 for j ≥ 0.5 —
     # high recall for a dedup pass (false candidates are killed by the exact
     # Jaccard verification inside lsh_candidate_pairs)
+    # lsh_max_bucket: production guard against near-identical template
+    # families (survive exact dedup, land m docs in one bucket per band →
+    # m²/2 pairs); oversized buckets emit a Jaccard-verified star instead,
+    # which keeps the loser set (everything but the min uid) identical for
+    # a true family. No bucket in the contract corpora comes near the cap,
+    # so oracle parity is unaffected.
     pairs = lsh_candidate_pairs(
         deduped, "uid", "extracted_text", threshold=near_dup_jaccard,
-        k=8, bands=8,
+        k=8, bands=8, max_bucket=lsh_max_bucket,
     )
     # no broadcast hint: the loser set can be corpus-sized on dup-heavy
     # data — AQE picks broadcast when it actually fits

@@ -119,3 +119,81 @@ class TestPointerJumping:
         got = _labels(connected_components(edges, max_iterations=25))
         assert set(got.values()) == {1}
         assert len(got) == 64
+
+
+class TestHotBucketCap:
+    """max_bucket: the one remaining quadratic LSH shape (round-5 verdict)
+    — a near-identical template family survives exact dedup and lands all
+    m members in one bucket per band.  Above the cap the bucket emits a
+    Jaccard-verified star (m-1 pairs) instead of all pairs (m²/2)."""
+
+    def _family(self, spark, m, extra=()):
+        # template family: one distinguishing word per doc, 95% shared text
+        base = ("quarterly compliance report for region office covering "
+                "revenue expenses headcount attrition and forecast items "
+                "prepared according to the standard template sections")
+        rows = [(i, f"{base} entity{i}") for i in range(m)]
+        rows += list(extra)
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_star_preserves_clusters_and_bounds_pairs(self, spark):
+        df = self._family(
+            spark, 60,
+            extra=[(1000, "a wholly unrelated document about spark "
+                          "streaming watermark semantics and state stores "
+                          "with nothing shared at all here")],
+        )
+        full = lsh_candidate_pairs(df, "doc_id", "text", threshold=0.5)
+        capped = lsh_candidate_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket=10
+        )
+        fp = {(r["a_id"], r["b_id"]) for r in full.collect()}
+        cp = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+        # quadratic-scale pair count (LSH recall < 1 at this jaccard, so
+        # not exactly m(m-1)/2 — but ~20× the star's m-1)
+        assert len(fp) > 1000
+        # capped output is linear-scale: one star per oversized
+        # (band, bucket) — the family can split across buckets per band,
+        # so slightly more than m-1, nowhere near m²/2
+        assert len(cp) < 300
+        assert cp <= fp                        # capped emits no new pairs
+        # the property dedup actually consumes: identical clusters.
+        # (not all 60 docs appear: with bands=2 the banding itself misses
+        # ~12% of members into singleton buckets — identically in BOTH
+        # modes; the cap changes nothing about recall)
+        lf = _labels(connected_components(full))
+        lc = _labels(connected_components(capped))
+        assert lf == lc
+        assert set(lc.values()) == {0} and len(lc) >= 40
+
+    def test_under_cap_buckets_identical_to_uncapped(self, spark):
+        df = self._family(spark, 8)
+        full = lsh_candidate_pairs(df, "doc_id", "text", threshold=0.5)
+        capped = lsh_candidate_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket=100
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, capped.collect())
+        )
+
+    def test_10k_template_family_linear(self, spark):
+        """The verdict's planted scenario: a 10k-doc template family.
+        All-pairs would be ~50M candidates per band; the cap keeps the
+        physical pair count at m-1 and the run at seconds."""
+        import time
+
+        df = self._family(spark, 10_000).repartition(32)
+        t0 = time.perf_counter()
+        capped = lsh_candidate_pairs(
+            df, "doc_id", "text", threshold=0.5, max_bucket=100
+        )
+        n = capped.count()
+        wall = time.perf_counter() - t0
+        # linear-scale: ~(m-1) per oversized bucket across 2 bands, vs
+        # ~50M all-pairs per band uncapped (banding recall keeps a small
+        # fraction of members out — identically in both modes)
+        assert 8_000 < n < 25_000
+        labels = _labels(connected_components(capped))
+        assert set(labels.values()) == {0}
+        assert len(labels) > 8_000
+        assert wall < 120, f"hot-bucket path took {wall:.0f}s"
