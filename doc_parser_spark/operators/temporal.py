@@ -136,6 +136,58 @@ def range_join(
     )
 
 
+def choose_rollup_levels(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+    min_fold: float = 2.0,
+) -> tuple[tuple[str, ...], dict]:
+    """Cardinality pre-pass for ``rollup_timeseries`` — the guard for its
+    one documented scale-killer (docs/SCALE.md round-4 sparse worst case:
+    a timestamp distribution where nearly every (key, minute) is unique
+    makes the cascade persist ~2× the input through the fine levels,
+    273 s vs 13 s on the same 20M rows).
+
+    ONE map-side-combined aggregate (no full-row shuffle: global agg of
+    approx_count_distinct partials) estimates the bucket count of every
+    candidate level; levels finer than the first one that actually folds
+    rows (``rows / est_buckets ≥ min_fold``) are dropped. Returns
+    ``(kept_levels, stats)`` where stats has per-level estimated bucket
+    counts, the row count, and what was pruned — callers log it and pass
+    ``kept_levels`` to ``rollup_timeseries`` (composition keeps the
+    rollup itself bit-exact for oracle checks).
+
+    approx_count_distinct (HyperLogLog++) is ±~2.3% at default rsd;
+    ``min_fold`` ≥ 2 leaves ample slack, and a wrong keep/prune near the
+    boundary only trades a marginal level's cost, never correctness.
+    """
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for lvl in levels:
+        parts = [F.date_trunc(lvl, F.col(ts_col)).cast("string")]
+        parts += [F.col(c).cast("string") for c in key_cols]
+        aggs.append(
+            F.approx_count_distinct(F.concat_ws("\x00", *parts)).alias(lvl)
+        )
+    row = df.agg(*aggs).first()
+    rows = row["_rows"]
+    est = {lvl: row[lvl] for lvl in levels}
+    kept = list(levels)
+    # prune from the fine end; always keep at least the coarsest level
+    while len(kept) > 1 and rows < min_fold * max(est[kept[0]], 1):
+        kept.pop(0)
+    stats = {
+        "rows": rows,
+        "est_buckets": est,
+        "kept": tuple(kept),
+        "pruned": tuple(l for l in levels if l not in kept),
+        "min_fold": min_fold,
+    }
+    return tuple(kept), stats
+
+
 def rollup_timeseries(
     df: DataFrame,
     ts_col: str,
@@ -154,6 +206,12 @@ def rollup_timeseries(
     24), so the refresh cost of the full hierarchy is ~the base aggregate
     alone — the reason continuous aggregates exist. count/sum/min/max are
     the classic mergeable partials; avg derives as sum/count at output.
+
+    Sparse-data guard: when nearly every (key, finest-bucket) is unique
+    the cascade's cost tracks OUTPUT bucket count, not input (the round-4
+    soak's one scale-killer). Run ``choose_rollup_levels`` first — a
+    single cheap cardinality pre-pass that drops levels which wouldn't
+    fold rows — and pass its ``kept_levels`` here.
 
     Sums accumulate in fixed-point ``decimal(18, 2)``: float sums are
     order-dependent, so a cascaded double sum can land on the other side

@@ -425,3 +425,64 @@ class TestResampleFfill:
         ).collect()
         assert len(out) == 1
         assert out[0]["value_ffill"] == 2.0  # highest eid wins the second
+
+
+class TestChooseRollupLevels:
+    """Sparse-data guard for rollup_timeseries (round-5 verdict #7): one
+    approx-distinct pre-pass drops levels that would not fold rows."""
+
+    def _events(self, spark, step_s, n=3000):
+        # one event every step_s seconds from a fixed epoch, one key
+        return spark.range(n).selectExpr(
+            f"timestamp_seconds(1700000000 + id * {step_s}) AS ts",
+            "'signup' AS event_type",
+            "cast(id % 7 as double) AS value",
+        )
+
+    def test_sparse_prunes_minute_keeps_hour(self, spark):
+        from doc_parser_spark.operators.temporal import choose_rollup_levels
+
+        # one event per minute: minute level folds nothing (buckets==rows),
+        # hour folds 60×, day 1440×
+        df = self._events(spark, step_s=60)
+        kept, stats = choose_rollup_levels(df, "ts", ["event_type"])
+        assert kept == ("hour", "day")
+        assert stats["pruned"] == ("minute",)
+        assert stats["rows"] == 3000
+        # HLL estimate of the minute level is ~rows (±2.3%)
+        assert abs(stats["est_buckets"]["minute"] - 3000) < 300
+
+    def test_dense_keeps_all_levels(self, spark):
+        from doc_parser_spark.operators.temporal import choose_rollup_levels
+
+        # 10 events per second: every level folds ≥ 10×
+        df = spark.range(3000).selectExpr(
+            "timestamp_seconds(1700000000 + cast(id / 600 as int) * 60) AS ts",
+            "'signup' AS event_type",
+            "cast(id as double) AS value",
+        )
+        kept, stats = choose_rollup_levels(df, "ts", ["event_type"])
+        assert kept == ("minute", "hour", "day")
+        assert stats["pruned"] == ()
+
+    def test_everything_sparse_keeps_coarsest(self, spark):
+        from doc_parser_spark.operators.temporal import choose_rollup_levels
+
+        # one event per DAY: even the day level folds nothing — the
+        # coarsest level is still kept (never returns an empty hierarchy)
+        df = self._events(spark, step_s=86400, n=500)
+        kept, stats = choose_rollup_levels(df, "ts", ["event_type"])
+        assert kept == ("day",)
+        assert stats["pruned"] == ("minute", "hour")
+
+    def test_composes_with_rollup(self, spark):
+        from doc_parser_spark.operators.temporal import (
+            choose_rollup_levels,
+            rollup_timeseries,
+        )
+
+        df = self._events(spark, step_s=60, n=600)
+        kept, _ = choose_rollup_levels(df, "ts", ["event_type"])
+        out = rollup_timeseries(df, "ts", ["event_type"], "value", levels=kept)
+        lvls = {r["level"] for r in out.select("level").distinct().collect()}
+        assert lvls == {"hour", "day"}
