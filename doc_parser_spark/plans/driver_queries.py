@@ -4282,6 +4282,50 @@ QUERIES["events_rollup_multires"] = q_events_rollup_multires
 ORACLES["events_rollup_multires"] = ORACLE_ROLLUP
 
 
+# --- adaptive variant (round 6): choose_rollup_levels prunes levels that
+# would not fold rows (the sparse-rollup scale guard), then the same
+# cascade runs on the kept suffix. The events table is NATURALLY sparse at
+# the minute level (fold 1.0-1.25 across SFs, vs min_fold=2), so the guard
+# genuinely fires; the oracle re-derives the keep decisions with EXACT
+# distinct counts (Spark uses HLL ±2.3%; every SF's fold sits ≥37% from
+# the threshold, so both engines decide identically) and emits the same
+# suffix-keep union: minute iff it folds, hour iff minute kept or hour
+# folds, day always.
+def q_events_rollup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.temporal import (
+        choose_rollup_levels,
+        rollup_timeseries,
+    )
+
+    ev = _events(spark, sf_dir)
+    kept, _stats = choose_rollup_levels(
+        ev, "ts", ["event_type"], ("minute", "hour", "day"), min_fold=2.0
+    )
+    return rollup_timeseries(ev, "ts", ["event_type"], "value", levels=kept)
+
+
+_ROLLUP_KEEP_PRED = {
+    "minute": "(SELECT count(*) FROM events) >= 2 * (SELECT count(DISTINCT "
+              "date_trunc('minute', ts)::VARCHAR || chr(0) || event_type) "
+              "FROM events)",
+    "hour": "(SELECT count(*) FROM events) >= 2 * (SELECT count(DISTINCT "
+            "date_trunc('minute', ts)::VARCHAR || chr(0) || event_type) "
+            "FROM events) OR (SELECT count(*) FROM events) >= 2 * (SELECT "
+            "count(DISTINCT date_trunc('hour', ts)::VARCHAR || chr(0) || "
+            "event_type) FROM events)",
+    "day": "TRUE",
+}
+
+ORACLE_ROLLUP_ADAPTIVE = " UNION ALL ".join(
+    f"SELECT * FROM ({_ROLLUP_LEVEL_SQL.format(lvl=lvl)}) "
+    f"WHERE {_ROLLUP_KEEP_PRED[lvl]}"
+    for lvl in ("minute", "hour", "day")
+)
+
+QUERIES["events_rollup_adaptive"] = q_events_rollup_adaptive
+ORACLES["events_rollup_adaptive"] = ORACLE_ROLLUP_ADAPTIVE
+
+
 # ===========================================================================
 # batch 34 — unicode NFC normalization (functions/textnorm.py): the corpus
 # text is ASCII, so both sides append the same decomposed-unicode suffix
