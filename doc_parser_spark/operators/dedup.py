@@ -599,6 +599,121 @@ def dedup_incremental(
     )
 
 
+def dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Materialized dedup index of a corpus — ONE pass over the text,
+    after which incremental ingest never touches old text again
+    (``dedup_incremental`` recomputes md5 + MinHash over the WHOLE old
+    side per batch: O(corpus) per ingest, the one cost that disqualifies
+    the self-contained form at 100 TB).
+
+    One row per doc: ``(id, h, buckets, shingles)`` — content md5, the
+    per-band bucket hashes (null for shingle-less docs, matching
+    lsh_buckets' skew-guard exclusion), and the shingle set for candidate
+    verification. Storage note: shingles dominate the index size (~n× the
+    text); at extreme scale store ``transform(shingles, s -> xxhash64(s))``
+    instead and verify Jaccard over the hashes — identical up to 64-bit
+    collisions. Kept as raw strings here so classification is
+    BIT-IDENTICAL to ``dedup_incremental`` (proven in tests).
+    """
+    rows_per_band = k // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(shingles, x -> md5(concat('{s}|', x))))"
+        ).alias(f"m{s}")
+        for s in range(k)
+    ]
+    base = sh.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.col("shingles"),
+        *sig_cols,
+    )
+    band_exprs = [
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+            + "))"
+        )
+        for b in range(bands)
+    ]
+    return base.select(
+        "id",
+        "h",
+        F.when(F.col("m0").isNotNull(), F.array(*band_exprs)).alias(
+            "buckets"
+        ),
+        "shingles",
+    )
+
+
+def dedup_incremental_indexed(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """``dedup_incremental`` against a MATERIALIZED old-side index
+    (``dedup_index`` output) instead of the old corpus text — the true
+    production ingest shape: per-batch cost is O(batch + matched
+    candidates); the only old-side work is the index read. Classification
+    is bit-identical to ``dedup_incremental(new_df, old_df, ...)`` when
+    ``index = dedup_index(old_df, ...)`` with the same parameters.
+
+    Index maintenance is append-only: after a batch, append
+    ``dedup_index(novel docs)`` — exactly what the streaming wiring does
+    (``streaming/stream.py::dedup_incremental_stream_indexed``).
+    """
+    old_hash = index.groupBy("h").agg(F.min("id").alias("exact_old_id"))
+    base = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("h")
+    ).join(old_hash, "h", "left").drop("h")
+    bn = lsh_buckets(new_df, id_col, text_col, k, bands, n).withColumnRenamed(
+        "id", "new_id"
+    )
+    bo = index.where(F.col("buckets").isNotNull()).selectExpr(
+        "id AS old_id", "posexplode(buckets) AS (band, bucket)"
+    )
+    cand = bn.join(bo, ["band", "bucket"]).select("new_id", "old_id").distinct()
+    shn = with_shingles(new_df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
+    )
+    sho = index.select(
+        F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
+    )
+    near = (
+        cand.join(shn, "new_id")
+        .join(sho, "old_id")
+        .withColumn("j", F.expr(jaccard_expr("sh_n", "sh_o")))
+        .where(F.col("j") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_old_id"))
+        .withColumnRenamed("new_id", id_col)
+    )
+    out = base.join(near, id_col, "left")
+    return out.select(
+        id_col,
+        F.when(F.col("exact_old_id").isNotNull(), "exact_dup")
+        .when(F.col("near_old_id").isNotNull(), "near_dup")
+        .otherwise("novel")
+        .alias("status"),
+        F.coalesce("exact_old_id", "near_old_id")
+        .cast("long")
+        .alias("matched_old_id"),
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,

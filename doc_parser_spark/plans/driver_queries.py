@@ -4823,6 +4823,34 @@ QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCR
 
 
+# --- materialized-index variant (round 6): identical classification, but
+# the old side is dedup_index(old) — md5/MinHash/shingles computed ONCE,
+# never re-derived from old text at ingest (the O(corpus)-per-batch cost
+# the self-contained form pays). Same inputs, so the ORACLE IS REUSED
+# VERBATIM: the index path must be bit-identical to the text path.
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import (
+        dedup_incremental_indexed,
+        dedup_index,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.where(F.col("doc_id") % 2 == 0)
+    new = corpus.where(F.col("doc_id") % 2 == 1).unionByName(
+        old.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "payload"
+        )
+    )
+    index = dedup_index(old, "doc_id", "payload")
+    return dedup_incremental_indexed(
+        new, index, "doc_id", "payload", threshold=0.2
+    )
+
+
+QUERIES["dedup_incremental_indexed"] = q_dedup_incremental_indexed
+ORACLES["dedup_incremental_indexed"] = ORACLE_DEDUP_INCR
+
+
 # ===========================================================================
 # batch 41 — corpus snapshot diff (incremental-reprocessing audit): old =
 # documents; new = deterministic perturbation (every 7th changed, every

@@ -172,6 +172,104 @@ def incremental_dedup_processor(
     return process
 
 
+def indexed_dedup_processor(
+    corpus_index_path: str,
+    accepted_index_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+):
+    """foreachBatch body for ``dedup_incremental_stream_indexed``: the
+    old side is a MATERIALIZED index (``operators/dedup.dedup_index``),
+    never corpus text — per-batch cost is O(batch + candidates) plus the
+    index read, instead of re-hashing/re-minhashing the whole corpus
+    every micro-batch (the O(corpus)-per-batch cost the text-based loop
+    pays). Novel docs append their own index rows, so the index is
+    maintained by the loop itself.
+
+    Exactly-once: same machinery as ``incremental_dedup_processor`` —
+    batch_id-partitioned dynamic-overwrite sinks + the batch_id < current
+    replay guard on the accepted-index read."""
+    from doc_parser_spark.operators.dedup import (
+        dedup_incremental_indexed,
+        dedup_index,
+    )
+
+    index_kwargs = {
+        kk: v for kk, v in dedup_kwargs.items() if kk in ("k", "bands", "n")
+    }
+
+    def process(mb: DataFrame, batch_id: int) -> None:
+        spark = mb.sparkSession
+        idx = spark.read.parquet(corpus_index_path)
+        try:
+            accepted = (
+                spark.read.parquet(accepted_index_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+            idx = idx.unionByName(accepted)
+        except AnalysisException:
+            pass  # first batch: no accepted index yet (see the text-based
+            # processor for why ONLY AnalysisException may be swallowed)
+        mb = mb.persist()
+        res = dedup_incremental_indexed(
+            mb, idx, id_col, text_col, **dedup_kwargs
+        ).persist()
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(output_path)
+        )
+        novel = mb.join(
+            res.where(F.col("status") == "novel").select(id_col), id_col
+        )
+        (
+            dedup_index(novel, id_col, text_col, **index_kwargs)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(accepted_index_path)
+        )
+        res.unpersist()
+        mb.unpersist()
+
+    return process
+
+
+def dedup_incremental_stream_indexed(
+    stream_df: DataFrame,
+    corpus_index_path: str,
+    accepted_index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Index-maintained continuous-ingestion dedup: classification results
+    are bit-identical to ``dedup_incremental_stream`` (proven in
+    tests/test_streaming_dedup.py), but the corpus text is read ZERO times
+    per batch — only its one-time index (build with
+    ``dedup_index(corpus).write.parquet(corpus_index_path)``)."""
+    process = indexed_dedup_processor(
+        corpus_index_path, accepted_index_path, output_path, id_col,
+        text_col, **dedup_kwargs,
+    )
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_incremental_stream(
     stream_df: DataFrame,
     corpus_path: str,

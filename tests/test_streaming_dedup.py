@@ -214,3 +214,127 @@ def test_replay_heals_partial_commit(spark, tmp_path):
     assert statuses.loc["101"] == "novel"
     assert statuses.loc["200"] == "exact_dup"  # cross-batch dup still caught
     assert len(out) == 5  # no duplicated rows from the two attempts
+
+
+# ---------------------------------------------------------------------------
+# materialized-index variant (round 6): old text is never re-hashed
+# ---------------------------------------------------------------------------
+
+class TestIndexedIncremental:
+    def test_bit_parity_with_text_based(self, spark):
+        """dedup_incremental_indexed(new, dedup_index(old)) must classify
+        identically to dedup_incremental(new, old) — including a
+        shingle-less short doc on each side (null buckets path)."""
+        from doc_parser_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_indexed,
+            dedup_index,
+        )
+
+        old_rows = CORPUS + [(3, "too short")]          # shingle-less old
+        new_rows = BATCH_1 + BATCH_2 + [
+            (300, "too short"),                          # exact dup of 3
+            (301, "also tiny"),                          # shingle-less novel
+        ]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        ref = dedup_incremental(new, old, "doc_id", "text").toPandas()
+        idx = dedup_index(old, "doc_id", "text")
+        got = dedup_incremental_indexed(new, idx, "doc_id", "text").toPandas()
+        ref = ref.sort_values("doc_id").reset_index(drop=True).astype(str)
+        got = got.sort_values("doc_id").reset_index(drop=True).astype(str)
+        pd.testing.assert_frame_equal(got, ref)
+        # sanity on the interesting rows
+        byid = got.set_index("doc_id")["status"]
+        assert byid.loc["300"] == "exact_dup"
+        assert byid.loc["301"] == "novel"
+
+    def test_index_shape(self, spark):
+        from doc_parser_spark.operators.dedup import dedup_index
+
+        old = spark.createDataFrame(
+            CORPUS + [(3, "too short")], "doc_id long, text string"
+        )
+        idx = {r["id"]: r for r in dedup_index(old, "doc_id", "text").collect()}
+        assert len(idx[1]["buckets"]) > 0          # banded
+        assert idx[3]["buckets"] is None           # shingle-less: excluded
+        assert idx[3]["shingles"] == []
+
+    def test_streaming_indexed_matches_text_based(self, spark, dirs,
+                                                  tmp_path):
+        """Drain the same 2-file arrival sequence through the indexed
+        stream; output rows must equal the text-based stream's
+        (dirs/out, already drained by the module fixture)."""
+        from doc_parser_spark.operators.dedup import dedup_index
+        from doc_parser_spark.streaming.stream import (
+            dedup_incremental_stream_indexed,
+        )
+
+        corpus = spark.read.parquet(str(dirs / "corpus"))
+        dedup_index(corpus, "doc_id", "text").write.parquet(
+            str(tmp_path / "corpus_index")
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(dirs / "incoming"))
+        )
+        q = dedup_incremental_stream_indexed(
+            stream,
+            corpus_index_path=str(tmp_path / "corpus_index"),
+            accepted_index_path=str(tmp_path / "accepted_index"),
+            output_path=str(tmp_path / "out"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.read.parquet(str(tmp_path / "out"))
+            .toPandas().astype(str)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        ref = (
+            spark.read.parquet(str(dirs / "out"))
+            .toPandas().astype(str)
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], ref[sorted(ref.columns)]
+        )
+        # accepted INDEX rows exist for exactly the novels
+        acc = spark.read.parquet(str(tmp_path / "accepted_index")).toPandas()
+        assert sorted(acc["id"].tolist()) == [101, 202]
+        assert set(acc.columns) >= {"id", "h", "buckets", "shingles"}
+
+    def test_indexed_replay_is_idempotent(self, spark, tmp_path):
+        from doc_parser_spark.operators.dedup import dedup_index
+        from doc_parser_spark.streaming.stream import indexed_dedup_processor
+
+        root = _fresh_root(spark, tmp_path)
+        corpus = spark.read.parquet(str(root / "corpus"))
+        dedup_index(corpus, "doc_id", "text").write.parquet(
+            str(root / "corpus_index")
+        )
+        process = indexed_dedup_processor(
+            corpus_index_path=str(root / "corpus_index"),
+            accepted_index_path=str(root / "accepted_index"),
+            output_path=str(root / "out"),
+        )
+        b1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+        b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+        process(b1, 0)
+        process(b2, 1)
+        clean = (
+            spark.read.parquet(str(root / "out"))
+            .toPandas().astype(str)
+            .sort_values(["batch_id", "doc_id"]).reset_index(drop=True)
+        )
+        process(b1, 0)  # kill-after-commit replay
+        process(b2, 1)
+        replay = (
+            spark.read.parquet(str(root / "out"))
+            .toPandas().astype(str)
+            .sort_values(["batch_id", "doc_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(replay, clean)
+        assert replay.set_index("doc_id").loc["101", "status"] == "novel"
