@@ -124,8 +124,9 @@ class TestOurLayoutScore:
         return evaluate_layout(str(GT_JSON), rows)
 
     def test_f1_floor(self, score):
-        # measured 0.8293; floor leaves headroom for decoder-side drift
-        assert score["f1_score"] >= 0.78
+        # measured 0.8293 (round 5), 0.8403 with the round-6 unruled-table
+        # detector; floor leaves headroom for decoder-side drift
+        assert score["f1_score"] >= 0.80
 
     def test_recall_and_precision_floors(self, score):
         assert score["recall"] >= 0.84
@@ -145,7 +146,8 @@ class TestOurLayoutScore:
         # the classes that carry the document (59/10/9/10 TP measured)
         assert per["list_item"]["f1"] >= 0.70
         assert per["section_header"]["f1"] >= 0.75
-        assert per["table"]["f1"] >= 0.70
+        # 0.870 with the round-6 unruled-table detector (was 0.818)
+        assert per["table"]["f1"] >= 0.78
         assert per["picture"]["recall"] >= 0.9
 
 
