@@ -22,6 +22,13 @@ recomputes bit-identical results on replay (min-id aggregates, md5/LSH on
 content) — see streaming/stream.py::incremental_dedup_processor.
 
 Usage:  python tools/stream_kill_soak.py <workdir> [n_files] [docs_per_file]
+        python tools/stream_kill_soak.py --indexed <workdir> [...]
+
+``--indexed`` drives ``dedup_incremental_stream_indexed`` instead: the
+corpus is materialized once as a dedup_index and the accepted sink holds
+INDEX rows the loop maintains — the kill must also not corrupt the
+index-maintenance path (same verify: output + accepted-index state
+fingerprint-equal to an uninterrupted run).
 """
 from __future__ import annotations
 
@@ -85,18 +92,37 @@ STREAM = """\
 import sys
 sys.path.insert(0, {repo!r})
 from doc_parser_spark.session import get_spark
-from doc_parser_spark.streaming.stream import dedup_incremental_stream
+from doc_parser_spark.streaming.stream import (
+    dedup_incremental_stream,
+    dedup_incremental_stream_indexed,
+)
 spark = get_spark(master="local[16]")
 stream = (spark.readStream.schema("doc_id long, text string")
           .option("maxFilesPerTrigger", 1)
           .parquet({incoming_dir!r}))
-q = dedup_incremental_stream(
-    stream,
-    corpus_path={corpus_dir!r},
-    accepted_path={root!r} + "/accepted",
-    output_path={root!r} + "/out",
-    checkpoint_path={root!r} + "/ckpt",
-)
+if {indexed!r}:
+    import os
+    index_path = {corpus_dir!r} + "_index"
+    if not os.path.isdir(index_path):
+        from doc_parser_spark.operators.dedup import dedup_index
+        dedup_index(
+            spark.read.parquet({corpus_dir!r}), "doc_id", "text"
+        ).write.parquet(index_path)
+    q = dedup_incremental_stream_indexed(
+        stream,
+        corpus_index_path=index_path,
+        accepted_index_path={root!r} + "/accepted",
+        output_path={root!r} + "/out",
+        checkpoint_path={root!r} + "/ckpt",
+    )
+else:
+    q = dedup_incremental_stream(
+        stream,
+        corpus_path={corpus_dir!r},
+        accepted_path={root!r} + "/accepted",
+        output_path={root!r} + "/out",
+        checkpoint_path={root!r} + "/ckpt",
+    )
 q.awaitTermination()
 print("STREAM_DONE")
 spark.stop()
@@ -113,10 +139,11 @@ def fingerprint(path):
     df = spark.read.parquet(path)
     h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
                      for c in sorted(df.columns)])
+    id_col = "doc_id" if "doc_id" in df.columns else "id"
     row = df.agg(
         F.count("*").alias("n"),
         F.sum(h.cast("decimal(38,0)")).alias("hsum"),
-        F.countDistinct("doc_id").alias("nd"),
+        F.countDistinct(id_col).alias("nd"),
     ).first()
     batches = sorted((r["batch_id"], r["n"]) for r in
                      df.groupBy("batch_id").agg(F.count("*").alias("n"))
@@ -146,14 +173,15 @@ def _run(code: str, timeout: int = 3600) -> str:
     return p.stdout
 
 
-def killed_run(root: str, corpus_dir: str, incoming_dir: str) -> int:
+def killed_run(root: str, corpus_dir: str, incoming_dir: str,
+               indexed: bool = False) -> int:
     """Start the stream in its own process group; SIGKILL the group once
     KILL_AFTER batch partitions exist in the output (a later batch's sink
     writes are then in flight)."""
     proc = subprocess.Popen(
         [sys.executable, "-c", STREAM.format(
             repo=REPO, root=root, corpus_dir=corpus_dir,
-            incoming_dir=incoming_dir)],
+            incoming_dir=incoming_dir, indexed=indexed)],
         env=dict(os.environ, SPARK_DRIVER_MEM="16g"),
         start_new_session=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -178,9 +206,11 @@ def killed_run(root: str, corpus_dir: str, incoming_dir: str) -> int:
 
 
 def main() -> None:
-    work = sys.argv[1]
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    per_file = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+    args = [a for a in sys.argv[1:] if a != "--indexed"]
+    indexed = "--indexed" in sys.argv[1:]
+    work = args[0]
+    n_files = int(args[1]) if len(args) > 1 else 24
+    per_file = int(args[2]) if len(args) > 2 else 4000
     clean = os.path.join(work, "clean")
     killed = os.path.join(work, "killed")
     if os.path.isdir(killed):
@@ -199,13 +229,13 @@ def main() -> None:
     print("phase 1: clean reference drain", flush=True)
     os.makedirs(clean, exist_ok=True)
     _run(STREAM.format(repo=REPO, root=clean, corpus_dir=corpus_dir,
-                       incoming_dir=incoming_dir))
+                       incoming_dir=incoming_dir, indexed=indexed))
     print("phase 2: killed drain", flush=True)
     os.makedirs(killed, exist_ok=True)
-    killed_run(killed, corpus_dir, incoming_dir)
+    killed_run(killed, corpus_dir, incoming_dir, indexed=indexed)
     print("phase 3: restart from checkpoint", flush=True)
     _run(STREAM.format(repo=REPO, root=killed, corpus_dir=corpus_dir,
-                       incoming_dir=incoming_dir))
+                       incoming_dir=incoming_dir, indexed=indexed))
     print("phase 4: verify", flush=True)
     out = _run(VERIFY.format(repo=REPO, clean=clean, killed=killed))
     sys.stdout.write("\n".join(
