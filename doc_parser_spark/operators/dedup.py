@@ -606,6 +606,7 @@ def dedup_index(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    hashed: bool = False,
 ) -> DataFrame:
     """Materialized dedup index of a corpus — ONE pass over the text,
     after which incremental ingest never touches old text again
@@ -617,10 +618,13 @@ def dedup_index(
     per-band bucket hashes (null for shingle-less docs, matching
     lsh_buckets' skew-guard exclusion), and the shingle set for candidate
     verification. Storage note: shingles dominate the index size (~n× the
-    text); at extreme scale store ``transform(shingles, s -> xxhash64(s))``
-    instead and verify Jaccard over the hashes — identical up to 64-bit
-    collisions. Kept as raw strings here so classification is
-    BIT-IDENTICAL to ``dedup_incremental`` (proven in tests).
+    text); ``hashed=True`` stores xxhash64 of each shingle instead
+    (8 bytes/shingle, multiplicity preserved so the Jaccard expression
+    evaluates identically) and verification joins hash arrays — identical
+    classification up to 64-bit collisions (none observable). The default
+    keeps raw strings so classification is BIT-IDENTICAL to
+    ``dedup_incremental`` (proven in tests); pass the SAME ``hashed`` to
+    ``dedup_incremental_indexed``.
     """
     rows_per_band = k // bands
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
@@ -644,13 +648,18 @@ def dedup_index(
         )
         for b in range(bands)
     ]
+    shingles_col = (
+        F.expr("transform(shingles, s -> xxhash64(s))")
+        if hashed
+        else F.col("shingles")
+    )
     return base.select(
         "id",
         "h",
         F.when(F.col("m0").isNotNull(), F.array(*band_exprs)).alias(
             "buckets"
         ),
-        "shingles",
+        shingles_col.alias("shingles"),
     )
 
 
@@ -663,6 +672,7 @@ def dedup_incremental_indexed(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    hashed: bool = False,
 ) -> DataFrame:
     """``dedup_incremental`` against a MATERIALIZED old-side index
     (``dedup_index`` output) instead of the old corpus text — the true
@@ -686,7 +696,13 @@ def dedup_incremental_indexed(
         "id AS old_id", "posexplode(buckets) AS (band, bucket)"
     )
     cand = bn.join(bo, ["band", "bucket"]).select("new_id", "old_id").distinct()
-    shn = with_shingles(new_df.select(id_col, text_col), text_col, n).select(
+    shn = with_shingles(new_df.select(id_col, text_col), text_col, n)
+    if hashed:
+        # the new side hashes its shingles the same way the index did
+        shn = shn.withColumn(
+            "shingles", F.expr("transform(shingles, s -> xxhash64(s))")
+        )
+    shn = shn.select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
     )
     sho = index.select(

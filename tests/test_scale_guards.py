@@ -192,3 +192,58 @@ class TestCurationLayerPlans:
         out = connected_components(edges)
         assert len(_plan(out)) < 20_000
         assert {r["cluster_id"] for r in out.collect()} == {1}
+
+
+class TestIndexedIncrementalPlan:
+    """dedup_incremental_indexed's whole point: the OLD side contributes
+    zero text-derived computation — its md5/MinHash/shingles come off the
+    materialized index. Pin that in the optimized plan."""
+
+    def _sides(self, spark, tmp_path):
+        from doc_parser_spark.operators.dedup import dedup_index
+
+        old = spark.createDataFrame(
+            [(i, f"old document number {i} with several words inside here")
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100 + i, f"new arrival {i} with several words inside here")
+             for i in range(10)],
+            "doc_id long, text string",
+        )
+        # MATERIALIZED, the production shape — a lazy dedup_index frame
+        # would inline its own signature computation into the plan
+        dedup_index(old, "doc_id", "text").write.parquet(
+            str(tmp_path / "idx")
+        )
+        return new, old, spark.read.parquet(str(tmp_path / "idx"))
+
+    def test_minhash_runs_only_on_the_new_side(self, spark, tmp_path):
+        from doc_parser_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_indexed,
+        )
+
+        new, old, idx = self._sides(spark, tmp_path)
+        # the minhash kernel's signature expression: array_min(transform(
+        plan_text = _plan(dedup_incremental(new, old, "doc_id", "text"))
+        plan_idx = _plan(dedup_incremental_indexed(new, idx, "doc_id", "text"))
+        # text-based computes signatures for BOTH sides; indexed only for
+        # the new batch — strictly fewer signature expressions in the plan
+        assert 0 < plan_idx.count("array_min(transform(") < plan_text.count(
+            "array_min(transform(")
+        # the old side appears ONLY as parquet index scans: every parquet
+        # read schema is index-shaped (h/buckets/shingles), never raw text
+        scans = [l for l in plan_idx.splitlines() if "ReadSchema" in l]
+        assert scans and all(
+            "buckets" in l or "shingles" in l or "h:" in l for l in scans
+        ), scans
+
+    def test_index_plan_has_no_cartesian(self, spark, tmp_path):
+        from doc_parser_spark.operators.dedup import dedup_incremental_indexed
+
+        new, _old, idx = self._sides(spark, tmp_path)
+        plan = _plan(dedup_incremental_indexed(new, idx, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -338,3 +338,29 @@ class TestIndexedIncremental:
         )
         pd.testing.assert_frame_equal(replay, clean)
         assert replay.set_index("doc_id").loc["101", "status"] == "novel"
+
+    def test_hashed_index_classifies_identically(self, spark):
+        """hashed=True stores xxhash64(shingle) arrays (8 bytes/shingle —
+        the 100-TB storage lever); classification must equal both the
+        raw-shingle index and the text-based operator."""
+        from doc_parser_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_indexed,
+            dedup_index,
+        )
+
+        old_rows = CORPUS + [(3, "too short")]
+        new_rows = BATCH_1 + BATCH_2 + [(300, "too short"), (301, "tiny")]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        ref = dedup_incremental(new, old, "doc_id", "text").toPandas()
+        hidx = dedup_index(old, "doc_id", "text", hashed=True)
+        assert dict(hidx.dtypes)["shingles"] == "array<bigint>"
+        got = dedup_incremental_indexed(
+            new, hidx, "doc_id", "text", hashed=True
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True).astype(str),
+            ref.sort_values("doc_id").reset_index(drop=True).astype(str),
+        )
