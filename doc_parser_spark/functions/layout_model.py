@@ -44,7 +44,9 @@ from doc_parser_spark.functions.pdfish_extract import (
 # block-start markers seen in corporate/government report PDFs; the marker
 # CLASS decides the block label
 _BULLET = "□■ㅇo○●◦·‧∙◾▪▶►—–※"
-_RE_LIST = re.compile(rf"^\s*(?:[{_BULLET}]|\*|주\s*[:：]|-\s|\(\d+\)|\d+\)\s)")
+_RE_LIST = re.compile(
+    rf"^\s*(?:[{_BULLET}]|\*|주\s*[:：]|-\s|\(\d+\)|\d+\)\s|[-*]\s*$)"
+)
 _RE_CIRCLED = re.compile("^\\s*[①-⑳]")  # ① … ⑳
 _RE_ROMAN = re.compile(r"^\s*(?:[ⅠⅡⅢⅣⅤⅥⅦⅧⅨⅩⅪⅫ]|[IVX]{1,4}\.)\s*[.．]?\s*\S")
 _RE_ARROW = re.compile(r"^\s*[⇒➡→]")
@@ -325,6 +327,21 @@ def _page_regions(page_no: int, page: dict) -> list[dict]:
         uh = u.y1 - u.y0
         attached = None
         if not _is_marker(u.text):
+            # hanging-indent continuation: a unit on the same baseline
+            # just right of a lone-marker sliver block is that item's
+            # text (deep indents leave marker and text as separate units
+            # with no x-overlap; without this the item never assembles)
+            for b in open_blocks:
+                if (
+                    len(b["rows"]) == 1
+                    and _is_marker(b["rows"][0].text)
+                    and b["x1"] - b["x0"] < 14.0
+                    and min(u.y1, b["y1"]) - max(u.y0, b["y0"]) > 0
+                    and 0 <= u.x0 - b["x1"] <= 60.0
+                ):
+                    attached = b
+                    break
+        if attached is None and not _is_marker(u.text):
             best_ov = 0.0
             for b in open_blocks:
                 gap = u.y0 - b["y1"]
@@ -385,9 +402,14 @@ def _page_regions(page_no: int, page: dict) -> list[dict]:
             blocks.remove(sl)
 
     # --- table-of-contents pages: rows of dotted leaders merge into ONE
-    # region (the GT annotates the whole index as a single box) ----------
+    # region (the GT annotates the whole index as a single box). Trigger
+    # on dotted ROWS, not blocks: tightly-spaced index lines chain into a
+    # single block during assembly and a block-count trigger never fires.
     dotted = [b for b in blocks if any("·····" in r.text for r in b["rows"])]
-    if len(dotted) >= 3:
+    n_dotted_rows = sum(
+        1 for b in dotted for r in b["rows"] if "·····" in r.text
+    )
+    if n_dotted_rows >= 3:
         lo = min(b["y0"] for b in dotted)
         hi = max(b["y1"] for b in dotted)
         absorbed = [

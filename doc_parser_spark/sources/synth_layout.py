@@ -157,9 +157,14 @@ def build_adversarial_pages() -> tuple[bytes, dict]:
     page3 = {"texts": t3, "rects": r3, "images": i3}
 
     pdf = build_layout_pdf([page1, page2, page3])
-    coco = {
+    return pdf, _coco(gts, 3)
+
+
+def _coco(gts: list[dict], n_pages: int) -> dict:
+    return {
         "images": [
-            {"id": p, "width": PAGE_W, "height": PAGE_H} for p in (1, 2, 3)
+            {"id": p, "width": PAGE_W, "height": PAGE_H}
+            for p in range(1, n_pages + 1)
         ],
         "categories": [
             {"id": i, "name": n}
@@ -181,4 +186,70 @@ def build_adversarial_pages() -> tuple[bytes, dict]:
             for i, g in enumerate(gts, start=1)
         ],
     }
-    return pdf, coco
+
+
+def build_furniture_toc_pages() -> tuple[bytes, dict]:
+    """Second adversarial set (round 6): furniture suppression, dotted-
+    leader TOC merging, an unruled table with a MISSING cell, and a
+    hanging-indent list sliver. Header/footer/page-number lines get NO
+    groundtruth — any prediction for them is a false positive, so the
+    global precision pins the suppression behavior."""
+    gts: list[dict] = []
+
+    # ---- page 1: furniture + dotted-leader TOC ----------------------
+    t1: list[tuple] = []
+    t1.append((72, 770, 9, "INTERNAL REPORT 2024"))     # header band: no GT
+    t1.append((300, 14, 9, "- 3 -"))                     # page number: no GT
+    t1.append((72, 720, 15, "III. Contents"))
+    gts.append(_gt(1, "title", 72, 735, 72 + _w(15, "III. Contents"), 716))
+    toc_rows = [
+        "1. Introduction " + "\xb7" * 30 + " 4",
+        "2. Methodology " + "\xb7" * 31 + " 9",
+        "3. Results " + "\xb7" * 35 + " 17",
+        "4. Discussion " + "\xb7" * 32 + " 28",
+    ]
+    for i, row in enumerate(toc_rows):
+        t1.append((90, 670 - i * 18, 11, row))
+    # the whole dotted index merges into ONE section_header region
+    gts.append(_gt(1, "section_header", 90, 681,
+                   90 + max(_w(11, r) for r in toc_rows), 612))
+    _para(t1, gts, 1, 72, 560, 11, [
+        "Body text well below the index block stays its own region",
+        "and must not be absorbed into the table of contents merge.",
+    ])
+    page1 = {"texts": t1}
+
+    # ---- page 2: unruled table with a hole + hanging-indent list ----
+    t2: list[tuple] = []
+    t2.append((72, 770, 9, "INTERNAL REPORT 2024"))     # header: no GT
+    t2.append((300, 14, 9, "- 4 -"))                     # footer: no GT
+    cols = (90, 210, 330, 450)
+    rows_y = (700, 682, 664, 646)
+    grid = [
+        ("Quarter", "Units", "Price", "Total"),
+        ("Q1", "1200", "3.50", "4200.00"),
+        ("Q2", "980", None, "3479.00"),                 # missing cell
+        ("Q3", "1410", "3.55", "5005.50"),
+    ]
+    for y, row in zip(rows_y, grid):
+        for x, cell in zip(cols, row):
+            if cell is not None:
+                t2.append((x, y, 10, cell))
+    gts.append(_gt(2, "table", 90, 712, 450 + _w(10, "4200.00"), 642))
+    # hanging-indent list: bare "-" marker far left, text deep-indented
+    for i, item in enumerate([
+        "first listed finding with its text deeply indented",
+        "second listed finding continuing the same pattern",
+    ]):
+        y = 580 - i * 16
+        t2.append((72, y, 10, "-"))
+        t2.append((110, y, 10, item))
+        gts.append(_gt(2, "list_item", 72, y + 10, 110 + _w(10, item),
+                       y - 2.5))
+    _para(t2, gts, 2, 72, 520, 11, [
+        "Closing paragraph after the list, a separate text region.",
+    ])
+    page2 = {"texts": t2}
+
+    pdf = build_layout_pdf([page1, page2])
+    return pdf, _coco(gts, 2)

@@ -90,3 +90,39 @@ class TestUnruledDetector:
         a = self._cells(2, [90, 220, 350], y0=700, step=20)
         b = self._cells(2, [90, 220, 350], y0=800, step=20)  # 50pt gap
         assert _unruled_tables(sorted(a + b, key=lambda c: (c.y0, c.x0))) == []
+
+
+class TestFurnitureTocSuite:
+    """Second adversarial set: furniture suppression (no GT for
+    header/footer/page-number → any prediction is an FP, so precision
+    pins it), dotted-leader TOC merge from a SINGLE chained block
+    (the block-count trigger never fired — round-6 model fix switched
+    to a dotted-row count), an unruled table with a missing cell, and
+    hanging-indent list items whose lone '-' markers sit 38 pt left of
+    their text (the same-baseline marker-continuation rule)."""
+
+    @pytest.fixture(scope="class")
+    def score2(self):
+        from doc_parser_spark.sources.synth_layout import (
+            build_furniture_toc_pages,
+        )
+
+        pdf, coco = build_furniture_toc_pages()
+        return evaluate_layout(coco, layout_result_rows(pdf))
+
+    def test_every_label_perfect(self, score2):
+        for lab, d in score2["per_label"].items():
+            assert d["f1"] >= 0.99, (lab, d)
+
+    def test_furniture_suppressed(self, score2):
+        # precision 1.0 == zero predictions for the unannotated
+        # header/footer/page-number lines
+        assert score2["precision"] >= 0.99
+
+    def test_toc_merges_to_one_region(self, score2):
+        d = score2["per_label"]["section_header"]
+        assert d["n_gt"] == d["n_pred"] == d["TP"] == 1
+
+    def test_hanging_indent_items_are_separate(self, score2):
+        d = score2["per_label"]["list_item"]
+        assert d["n_gt"] == d["n_pred"] == d["TP"] == 2
