@@ -168,6 +168,10 @@ def choose_rollup_levels(
     for lvl in levels:
         parts = [F.date_trunc(lvl, F.col(ts_col)).cast("string")]
         parts += [F.col(c).cast("string") for c in key_cols]
+        # coalesce each part: concat_ws SKIPS nulls (so ('a', NULL) and
+        # ('a',) would collide) while SQL || propagates them — a \x01
+        # sentinel keeps bucket identity engine-portable AND injective
+        parts = [F.coalesce(p, F.lit("\x01")) for p in parts]
         aggs.append(
             F.approx_count_distinct(F.concat_ws("\x00", *parts)).alias(lvl)
         )

@@ -108,7 +108,11 @@ class CurationStats(dict):
         return dict.__eq__(dict(self.items()), other)
 
     def __ne__(self, other):
-        return not self.__eq__(other)
+        # dict.__eq__ returns NotImplemented for non-dict others; `not
+        # NotImplemented` is a TypeError on Python 3.12+ — propagate it
+        # so the interpreter falls back to identity comparison.
+        r = self.__eq__(other)
+        return r if r is NotImplemented else not r
 
     __hash__ = None  # mutable mapping, same as dict
 

@@ -4304,15 +4304,19 @@ def q_events_rollup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_timeseries(ev, "ts", ["event_type"], "value", levels=kept)
 
 
+# bucket keys coalesce each part to chr(1), matching choose_rollup_levels
+# (Spark concat_ws skips NULLs, DuckDB || propagates them — checklist #5)
+def _rollup_fold_pred(lvl: str) -> str:
+    return (
+        "(SELECT count(*) FROM events) >= 2 * (SELECT count(DISTINCT "
+        f"coalesce(date_trunc('{lvl}', ts)::VARCHAR, chr(1)) || chr(0) || "
+        "coalesce(event_type, chr(1))) FROM events)"
+    )
+
+
 _ROLLUP_KEEP_PRED = {
-    "minute": "(SELECT count(*) FROM events) >= 2 * (SELECT count(DISTINCT "
-              "date_trunc('minute', ts)::VARCHAR || chr(0) || event_type) "
-              "FROM events)",
-    "hour": "(SELECT count(*) FROM events) >= 2 * (SELECT count(DISTINCT "
-            "date_trunc('minute', ts)::VARCHAR || chr(0) || event_type) "
-            "FROM events) OR (SELECT count(*) FROM events) >= 2 * (SELECT "
-            "count(DISTINCT date_trunc('hour', ts)::VARCHAR || chr(0) || "
-            "event_type) FROM events)",
+    "minute": _rollup_fold_pred("minute"),
+    "hour": f"{_rollup_fold_pred('minute')} OR {_rollup_fold_pred('hour')}",
     "day": "TRUE",
 }
 

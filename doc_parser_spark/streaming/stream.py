@@ -131,19 +131,24 @@ def incremental_dedup_processor(
         spark = mb.sparkSession
         corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
         try:
+            # ONLY the path read may be swallowed (first batch: the
+            # accepted sink doesn't exist yet). spark.read.parquet
+            # resolves the schema eagerly, so a missing path raises HERE.
+            accepted_raw = spark.read.parquet(accepted_path)
+        except AnalysisException:
+            accepted_raw = None  # first batch.  Any OTHER failure —
+            # schema drift, legacy data without batch_id, type mismatch —
+            # raises OUTSIDE this try and fails the batch so the
+            # checkpoint retries it; swallowing it would classify prior
+            # novels as novel again: a permanent dedup leak.
+        if accepted_raw is not None:
             accepted = (
-                spark.read.parquet(accepted_path)
                 # replay guard: exclude any rows a crashed first attempt
                 # of THIS batch (or a later uncommitted one) already wrote
-                .where(F.col("batch_id") < F.lit(batch_id))
+                accepted_raw.where(F.col("batch_id") < F.lit(batch_id))
                 .select(id_col, text_col)
             )
             corpus = corpus.unionByName(accepted)
-        except AnalysisException:
-            pass  # first batch: accepted_path doesn't exist yet.  Any
-            # OTHER read failure (corrupt parquet, transient IO) must fail
-            # the batch so the checkpoint retries it — swallowing it would
-            # classify prior novels as novel again: a permanent dedup leak.
         mb = mb.persist()
         res = dedup_incremental(
             mb, corpus, id_col, text_col, **dedup_kwargs
@@ -196,23 +201,30 @@ def indexed_dedup_processor(
         dedup_index,
     )
 
+    # 'hashed' MUST be forwarded: the novel rows' index schema has to match
+    # the corpus index (array<bigint> vs array<string> shingles) or the
+    # next batch's unionByName fails and prior novels silently vanish.
     index_kwargs = {
-        kk: v for kk, v in dedup_kwargs.items() if kk in ("k", "bands", "n")
+        kk: v
+        for kk, v in dedup_kwargs.items()
+        if kk in ("k", "bands", "n", "hashed")
     }
 
     def process(mb: DataFrame, batch_id: int) -> None:
         spark = mb.sparkSession
         idx = spark.read.parquet(corpus_index_path)
         try:
-            accepted = (
-                spark.read.parquet(accepted_index_path)
-                .where(F.col("batch_id") < F.lit(batch_id))
-                .drop("batch_id")
-            )
-            idx = idx.unionByName(accepted)
+            # only the path read is guarded — see the text-based processor
+            accepted_raw = spark.read.parquet(accepted_index_path)
         except AnalysisException:
-            pass  # first batch: no accepted index yet (see the text-based
-            # processor for why ONLY AnalysisException may be swallowed)
+            accepted_raw = None  # first batch: no accepted index yet
+        if accepted_raw is not None:
+            accepted = accepted_raw.where(
+                F.col("batch_id") < F.lit(batch_id)
+            ).drop("batch_id")
+            # a hashed/unhashed mismatch between corpus index and novel
+            # index rows must fail loudly here, not vanish the old side
+            idx = idx.unionByName(accepted)
         mb = mb.persist()
         res = dedup_incremental_indexed(
             mb, idx, id_col, text_col, **dedup_kwargs

@@ -339,6 +339,72 @@ class TestIndexedIncremental:
         pd.testing.assert_frame_equal(replay, clean)
         assert replay.set_index("doc_id").loc["101", "status"] == "novel"
 
+    def test_hashed_streaming_cross_batch(self, spark, tmp_path):
+        """hashed=True through the STREAMING processor: the novel-index
+        rows the loop appends must use the same hashed schema as the
+        corpus index, or batch 2's unionByName fails and prior novels
+        silently vanish from the old side (the cross-batch leak)."""
+        from doc_parser_spark.operators.dedup import dedup_index
+        from doc_parser_spark.streaming.stream import indexed_dedup_processor
+
+        root = _fresh_root(spark, tmp_path)
+        corpus = spark.read.parquet(str(root / "corpus"))
+        dedup_index(corpus, "doc_id", "text", hashed=True).write.parquet(
+            str(root / "corpus_index")
+        )
+        process = indexed_dedup_processor(
+            corpus_index_path=str(root / "corpus_index"),
+            accepted_index_path=str(root / "accepted_index"),
+            output_path=str(root / "out"),
+            hashed=True,
+        )
+        b1 = spark.createDataFrame(BATCH_1, "doc_id long, text string")
+        b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+        process(b1, 0)
+        process(b2, 1)
+        out = (
+            spark.read.parquet(str(root / "out"))
+            .toPandas().set_index("doc_id")
+        )
+        # the decisive cross-batch row: 200 duplicates batch 0's novel 101
+        assert out.loc[200, "status"] == "exact_dup"
+        assert out.loc[200, "matched_old_id"] == 101
+        assert out.loc[201, "status"] == "near_dup"
+        # novel index rows carry the HASHED schema
+        acc = spark.read.parquet(str(root / "accepted_index"))
+        assert dict(acc.dtypes)["shingles"] == "array<bigint>"
+        assert sorted(r["id"] for r in acc.collect()) == [101, 202]
+
+    def test_legacy_accepted_state_fails_loudly(self, spark, tmp_path):
+        """Accepted state that exists but can't serve the replay guard
+        (no batch_id column) must FAIL the batch, not be misread as
+        'first batch' — silently dropping the old side is the dedup-leak
+        failure mode the try-scope exists to prevent."""
+        from pyspark.errors import AnalysisException
+        from doc_parser_spark.operators.dedup import dedup_index
+        from doc_parser_spark.streaming.stream import indexed_dedup_processor
+
+        root = _fresh_root(spark, tmp_path)
+        corpus = spark.read.parquet(str(root / "corpus"))
+        dedup_index(corpus, "doc_id", "text").write.parquet(
+            str(root / "corpus_index")
+        )
+        # legacy/corrupt accepted index: rows but NO batch_id column
+        dedup_index(
+            spark.createDataFrame(
+                [(101, BATCH_1[1][1])], "doc_id long, text string"
+            ),
+            "doc_id", "text",
+        ).write.parquet(str(root / "accepted_index"))
+        process = indexed_dedup_processor(
+            corpus_index_path=str(root / "corpus_index"),
+            accepted_index_path=str(root / "accepted_index"),
+            output_path=str(root / "out"),
+        )
+        b2 = spark.createDataFrame(BATCH_2, "doc_id long, text string")
+        with pytest.raises(AnalysisException):
+            process(b2, 1)
+
     def test_hashed_index_classifies_identically(self, spark):
         """hashed=True stores xxhash64(shingle) arrays (8 bytes/shingle —
         the 100-TB storage lever); classification must equal both the

@@ -475,6 +475,27 @@ class TestChooseRollupLevels:
         assert kept == ("day",)
         assert stats["pruned"] == ("minute", "hour")
 
+    def test_null_keys_count_distinctly(self, spark):
+        """NULL key parts must not collide with each other or with real
+        values: concat_ws SKIPS nulls, so without the \\x01 coalesce a
+        (minute, NULL) bucket would collapse into (minute,) and the
+        estimated fold could flip a keep/prune decision (and diverge
+        from the DuckDB oracle, which drops NULL keys entirely)."""
+        from doc_parser_spark.operators.temporal import choose_rollup_levels
+
+        # 2 events per minute across 300 minutes, half with NULL key:
+        # 600 minute-buckets if NULL is its own key (fold 1.0 → prune),
+        # but only 300 if NULLs vanish from the key (fold 2.0 → keep)
+        df = spark.range(600).selectExpr(
+            "timestamp_seconds(1700000000 + (id % 300) * 60) AS ts",
+            "CASE WHEN id < 300 THEN 'signup' END AS event_type",
+            "cast(id as double) AS value",
+        )
+        kept, stats = choose_rollup_levels(df, "ts", ["event_type"])
+        assert "minute" in stats["pruned"]
+        # HLL estimate sees ~600 distinct minute buckets, not ~300
+        assert stats["est_buckets"]["minute"] > 450
+
     def test_composes_with_rollup(self, spark):
         from doc_parser_spark.operators.temporal import (
             choose_rollup_levels,
