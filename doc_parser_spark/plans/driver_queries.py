@@ -5695,3 +5695,123 @@ ORDER BY doc_id, toc_i
 
 QUERIES["toc_match_back"] = q_toc_match_back
 ORACLES["toc_match_back"] = _toc_oracle()
+
+
+# ===========================================================================
+# batch 49 — PRODUCTION LSH path: hot-bucket cap (round-6 verdict #4).
+# The star-cap mode (max_bucket) is what run_curation recommends for 100 TB
+# but every contract query ran max_bucket=None; this query plants a
+# deterministic 40-member near-identical template family (md5-derived words
+# — NEVER modular selection, see CLAUDE.md degenerate-corpus warning) so an
+# oversized (band, bucket) group genuinely exists, and the oracle computes
+# the star expansion in SQL (hub = min id per oversized bucket).
+# ===========================================================================
+_CAP_FAMILY = 40          # family ids 0..39: shared 50-word template + 1
+_CAP_MAX_BUCKET = 8       # distinguishing word -> bucket of ~34 >> cap
+
+# one changed word in 51 => 1 differing trigram in 49: P(identical full
+# 8-hash signature) = (48/49)^8 ~ 0.85, so most of the family collides
+# into ONE bucket per band — the oversized shape the cap exists for.
+_CAP_FAMILY_PAYLOAD = (
+    "concat_ws(' ', "
+    + ", ".join(f"md5('t|{i}')" for i in range(50))
+    + ", md5('d|' || cast(doc_id AS STRING)))"
+)
+
+# the CASE is shared VERBATIM between the Spark side (F.expr) and the
+# DuckDB oracle — same payload bytes by construction
+_CAP_PAYLOAD_CASE = (
+    f"CASE WHEN doc_id < {_CAP_FAMILY} THEN {_CAP_FAMILY_PAYLOAD} "
+    "WHEN doc_id % 2 = 1 "
+    "THEN p_text || ' extra tail words appended here' "
+    "ELSE text END"
+)
+
+CAPPED_CORPUS_SQL = f"""
+SELECT doc_id, {_CAP_PAYLOAD_CASE} AS payload FROM (
+  SELECT d.doc_id AS doc_id, d.text AS text, p.text AS p_text
+  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+  WHERE d.doc_id < 200
+)
+"""
+
+
+def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).alias("d")
+    p = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    ).alias("p")
+    return (
+        d.join(p, F.col("d.doc_id") - 1 == F.col("p_id"), "left")
+        .where(F.col("d.doc_id") < 200)
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("d.text").alias("text"),
+            F.col("p_text"),
+        )
+        .select("doc_id", F.expr(_CAP_PAYLOAD_CASE).alias("payload"))
+    )
+
+
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _capped_corpus(spark, sf_dir)
+    return lsh_candidate_pairs(
+        corpus, "doc_id", "payload", threshold=0.2,
+        max_bucket=_CAP_MAX_BUCKET,
+    )
+
+
+ORACLE_MINHASH_LSH_CAPPED = f"""
+WITH corpus AS ({CAPPED_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_cols_sql(8)} FROM sh
+),
+banded AS (
+  SELECT doc_id AS id,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS band0,
+         md5(concat_ws('|', m4, m5, m6, m7)) AS band1
+  FROM sigs WHERE m0 IS NOT NULL
+),
+buckets AS (
+  SELECT id, 0 AS band, band0 AS bucket FROM banded
+  UNION ALL
+  SELECT id, 1 AS band, band1 AS bucket FROM banded
+),
+sized AS (
+  SELECT b.id, b.band, b.bucket, s._m, s._hub
+  FROM buckets b JOIN (
+    SELECT band, bucket, count(*) AS _m, min(id) AS _hub
+    FROM buckets GROUP BY band, bucket
+  ) s USING (band, bucket)
+),
+cands AS (
+  SELECT DISTINCT a_id, b_id FROM (
+    -- small buckets: exact all-pairs, as in the uncapped oracle
+    SELECT a.id AS a_id, b.id AS b_id
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    WHERE a._m <= {_CAP_MAX_BUCKET}
+    UNION ALL
+    -- oversized buckets: min-id STAR (hub pairs with every member)
+    SELECT _hub AS a_id, id AS b_id
+    FROM sized WHERE _m > {_CAP_MAX_BUCKET} AND id <> _hub
+  )
+)
+SELECT c.a_id, c.b_id,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.a_id
+JOIN sh sb ON sb.doc_id = c.b_id
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+      / (len(sa.shingles) + len(sb.shingles)
+         - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+"""
+
+QUERIES["dedup_minhash_lsh_capped"] = q_dedup_minhash_lsh_capped
+ORACLES["dedup_minhash_lsh_capped"] = ORACLE_MINHASH_LSH_CAPPED
