@@ -673,6 +673,7 @@ def dedup_incremental_indexed(
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
     hashed: bool = False,
+    cast_matched: str | None = "long",
 ) -> DataFrame:
     """``dedup_incremental`` against a MATERIALIZED old-side index
     (``dedup_index`` output) instead of the old corpus text — the true
@@ -718,15 +719,19 @@ def dedup_incremental_indexed(
         .withColumnRenamed("new_id", id_col)
     )
     out = base.join(near, id_col, "left")
+    matched = F.coalesce("exact_old_id", "near_old_id")
+    if cast_matched is not None:
+        # default "long" matches dedup_incremental (and the BIGINT
+        # oracles); pass None for non-numeric ids — ANSI mode would
+        # otherwise THROW casting e.g. "conv#3" to long
+        matched = matched.cast(cast_matched)
     return out.select(
         id_col,
         F.when(F.col("exact_old_id").isNotNull(), "exact_dup")
         .when(F.col("near_old_id").isNotNull(), "near_dup")
         .otherwise("novel")
         .alias("status"),
-        F.coalesce("exact_old_id", "near_old_id")
-        .cast("long")
-        .alias("matched_old_id"),
+        matched.alias("matched_old_id"),
     )
 
 

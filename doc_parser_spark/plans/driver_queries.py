@@ -5815,3 +5815,173 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))
 
 QUERIES["dedup_minhash_lsh_capped"] = q_dedup_minhash_lsh_capped
 ORACLES["dedup_minhash_lsh_capped"] = ORACLE_MINHASH_LSH_CAPPED
+
+
+# ===========================================================================
+# batch 50 — composite INDEXED INGEST loop (round-6 verdict #3): standing
+# dedup_index (hashed=True — the at-scale setting) + TWO sequential
+# incremental batches, with the novel rows of batch 1 appended to the index
+# before batch 2 classifies (append-only maintenance). Decisive rows: batch-2
+# docs that duplicate batch-1 NOVELS must classify exact_dup with
+# matched_old_id pointing at the batch-1 id — provable only if the index
+# append between batches actually works. Oracle re-derives both rounds of
+# classification from the text in SQL.
+# ===========================================================================
+def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import (
+        dedup_incremental_indexed,
+        dedup_index,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    corpus = docs.where("doc_id < 120").select(
+        "doc_id", F.col("text").alias("payload")
+    )
+    s = docs.select(F.col("doc_id").alias("s_id"), F.col("text").alias("s_text"))
+    s2 = docs.select(
+        F.col("doc_id").alias("s2_id"), F.col("text").alias("s2_text")
+    )
+    # batch 1: %4==0 exact dup of corpus, %4==1 near dup of corpus, else novel
+    batch1 = (
+        docs.where("doc_id >= 120 AND doc_id < 160")
+        .join(s, F.col("doc_id") - 120 == F.col("s_id"), "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN s_text "
+                "WHEN doc_id % 4 = 1 "
+                "THEN s_text || ' extra tail words appended here' "
+                "ELSE text END"
+            ).alias("payload"),
+        )
+    )
+    # batch 2: %4==0 duplicates a BATCH-1 novel (id-38 is %4==2 -> the novel
+    # branch of batch 1), %4==1 near dup of corpus, else novel
+    batch2 = (
+        docs.where("doc_id >= 160 AND doc_id < 200")
+        .join(s, F.col("doc_id") - 160 == F.col("s_id"), "left")
+        .join(s2, F.col("doc_id") - 38 == F.col("s2_id"), "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 4 = 0 THEN s2_text "
+                "WHEN doc_id % 4 = 1 "
+                "THEN s_text || ' extra tail words appended here' "
+                "ELSE text END"
+            ).alias("payload"),
+        )
+    )
+    idx = dedup_index(corpus, "doc_id", "payload", hashed=True)
+    r1 = dedup_incremental_indexed(
+        batch1, idx, "doc_id", "payload", threshold=0.2, hashed=True
+    )
+    novel1 = batch1.join(
+        r1.where("status = 'novel'").select("doc_id"), "doc_id", "semi"
+    )
+    idx2 = idx.unionByName(
+        dedup_index(novel1, "doc_id", "payload", hashed=True)
+    )
+    r2 = dedup_incremental_indexed(
+        batch2, idx2, "doc_id", "payload", threshold=0.2, hashed=True
+    )
+    return r1.withColumn("batch", F.lit(1)).unionByName(
+        r2.withColumn("batch", F.lit(2))
+    )
+
+
+def _incr_classify_sql(new: str, old: str, out: str) -> str:
+    """CTE block classifying {new}(doc_id, payload) against {old}(doc_id,
+    payload): {out}(doc_id, status, matched_old_id) — the SQL twin of
+    dedup_incremental_indexed (defaults k=8, bands=2, threshold=0.2)."""
+    return f"""
+oh_{out} AS (
+  SELECT md5(payload) AS h, min(doc_id) AS exact_old_id FROM {old} GROUP BY 1
+),
+shn_{out} AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM {new})
+),
+sho_{out} AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(payload, ' ') AS w FROM {old})
+),
+sign_{out} AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM shn_{out}),
+sigo_{out} AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM sho_{out}),
+bn_{out} AS (
+  SELECT doc_id AS new_id, 0 AS band,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS bucket FROM sign_{out}
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sign_{out}
+),
+bo_{out} AS (
+  SELECT doc_id AS old_id, 0 AS band,
+         md5(concat_ws('|', m0, m1, m2, m3)) AS bucket FROM sigo_{out}
+  UNION ALL
+  SELECT doc_id, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sigo_{out}
+),
+cand_{out} AS (
+  SELECT DISTINCT a.new_id, b.old_id
+  FROM bn_{out} a JOIN bo_{out} b ON a.band = b.band AND a.bucket = b.bucket
+),
+near_{out} AS (
+  SELECT c.new_id AS doc_id, min(c.old_id) AS near_old_id
+  FROM cand_{out} c
+  JOIN shn_{out} sn ON sn.doc_id = c.new_id
+  JOIN sho_{out} so ON so.doc_id = c.old_id
+  WHERE len(list_intersect(sn.shingles, so.shingles))
+        / (len(sn.shingles) + len(so.shingles)
+           - len(list_intersect(sn.shingles, so.shingles))) >= 0.2
+  GROUP BY 1
+),
+{out} AS (
+  SELECT n.doc_id,
+         CASE WHEN oh.exact_old_id IS NOT NULL THEN 'exact_dup'
+              WHEN nr.near_old_id IS NOT NULL THEN 'near_dup'
+              ELSE 'novel' END AS status,
+         coalesce(oh.exact_old_id, nr.near_old_id)::BIGINT AS matched_old_id
+  FROM {new} n
+  LEFT JOIN oh_{out} oh ON oh.h = md5(n.payload)
+  LEFT JOIN near_{out} nr ON nr.doc_id = n.doc_id
+)"""
+
+
+ORACLE_CURATE_INGEST = f"""
+WITH docs AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+corpus AS (SELECT doc_id, text AS payload FROM docs WHERE doc_id < 120),
+b1 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 4 = 0 THEN s.text
+              WHEN d.doc_id % 4 = 1
+              THEN s.text || ' extra tail words appended here'
+              ELSE d.text END AS payload
+  FROM docs d LEFT JOIN docs s ON s.doc_id = d.doc_id - 120
+  WHERE d.doc_id >= 120 AND d.doc_id < 160
+),
+b2 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 4 = 0 THEN s2.text
+              WHEN d.doc_id % 4 = 1
+              THEN s.text || ' extra tail words appended here'
+              ELSE d.text END AS payload
+  FROM docs d
+  LEFT JOIN docs s ON s.doc_id = d.doc_id - 160
+  LEFT JOIN docs s2 ON s2.doc_id = d.doc_id - 38
+  WHERE d.doc_id >= 160 AND d.doc_id < 200
+),
+{_incr_classify_sql('b1', 'corpus', 'cls1')},
+old2 AS (
+  SELECT * FROM corpus
+  UNION ALL
+  SELECT b.doc_id, b.payload FROM b1 b
+  JOIN cls1 ON cls1.doc_id = b.doc_id AND cls1.status = 'novel'
+),
+{_incr_classify_sql('b2', 'old2', 'cls2')}
+SELECT doc_id, status, matched_old_id, 1 AS batch FROM cls1
+UNION ALL
+SELECT doc_id, status, matched_old_id, 2 AS batch FROM cls2
+"""
+
+QUERIES["curate_ingest_indexed"] = q_curate_ingest_indexed
+ORACLES["curate_ingest_indexed"] = ORACLE_CURATE_INGEST
