@@ -1030,6 +1030,8 @@ def subword_encode_counts(
     text_col: str,
     vocab_k: int = 64,
     max_piece: int = 6,
+    char_k: int | None = None,
+    word_pattern: str = "[^a-z0-9]+",
 ) -> DataFrame:
     """REAL subword tokenization (greedy longest-match, WordPiece-style)
     with a corpus-derived vocabulary — the upgrade over the reference's
@@ -1047,12 +1049,23 @@ def subword_encode_counts(
     vocab broadcast in the closure, then joins counts back. The DuckDB
     oracle replays the same greedy walk as a recursive CTE — a
     cross-paradigm differential of the exact tokenization.
+
+    Driver-collect bound: the default ``word_pattern`` keeps only
+    [a-z0-9] word characters, so the char-coverage set Σ is ≤ 36 by
+    construction. With a wider pattern (unicode corpora) Σ is the
+    corpus's distinct-codepoint count — 10⁵–10⁶ on full-unicode web text
+    — and MUST be capped: ``char_k`` keeps only the top-K codepoints by
+    occurrence (count-then-lexicographic cutoff, engine-deterministic).
+    An out-of-vocabulary character costs nothing in correctness terms:
+    the greedy walk's step-1 fallback emits it as its own single
+    "unknown" piece (n_subwords still counts it once). The collect is
+    then O(vocab_k + char_k) regardless of corpus size.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+                f"filter(split(lower({text_col}), '{word_pattern}'), "
                 "w -> w != '')"
             )
         ).alias("word"),
@@ -1076,14 +1089,28 @@ def subword_encode_counts(
         .limit(vocab_k)
         .select("piece")
     )
-    chars = occ.select(
+    char_pieces = occ.select(
         F.explode(
             F.expr(
                 "transform(sequence(1, length(word)), "
                 "i -> substring(word, i, 1))"
             )
-        ).alias("piece")
-    ).distinct()
+        ).alias("piece"),
+        "occ",
+    )
+    if char_k is not None:
+        # bounded char coverage: top-K codepoints by occurrence, same
+        # deterministic cutoff as the multi-char pieces; everything else
+        # encodes via the greedy walk's single-char unknown fallback
+        chars = (
+            char_pieces.groupBy("piece")
+            .agg(F.sum("occ").alias("c"))
+            .orderBy(F.col("c").desc(), "piece")
+            .limit(char_k)
+            .select("piece")
+        )
+    else:
+        chars = char_pieces.select("piece").distinct()
     vocab_rows = [
         r["piece"] for r in multi.unionByName(chars).distinct().collect()
     ]

@@ -874,3 +874,77 @@ class TestSubwordEncode:
         for r in out:
             assert r["n_words"] == 2
             assert 2 <= r["n_subwords"] <= 10
+
+    def test_charset_cap_on_50k_codepoint_corpus(self, spark):
+        """char_k bounds the driver-side vocab collect to O(vocab_k +
+        char_k) on a full-unicode corpus (round-6 verdict #6). 50k+
+        distinct codepoints flow through a whitespace word pattern; the
+        capped charset keeps only the hot codepoints and every OOV char
+        still encodes as exactly one unknown piece (the greedy step-1
+        fallback), so coverage is total and counts stay exact."""
+        from doc_parser_spark.operators.curation import subword_encode_counts
+
+        # ~51k distinct codepoints: CJK Unified + Hangul + CJK Ext-B
+        # (astral plane included deliberately — Arrow round-trip check)
+        points = (
+            list(range(0x4E00, 0x9FC0))
+            + list(range(0xAC00, 0xD7A4))
+            + list(range(0x20000, 0x24E00))
+        )
+        assert len(points) >= 50_000
+        rare_rows = [
+            (i, " ".join(chr(c) for c in points[i * 50:(i + 1) * 50]))
+            for i in range(len(points) // 50)
+        ]
+        # one HOT 3-char word, repeated: its chars win the char_k cut and
+        # the word itself wins a multi-char vocab slot
+        hot = chr(0xAC00) + chr(0xB098) + chr(0xB2E4)
+        # probe word: 3 occ-1 astral codepoints NOT in `points` — they
+        # lose the char_k cut (lex-largest among occ-1) AND, with
+        # vocab_k=3, its substrings lose the multi-piece cut to the hot
+        # word's three occ-6 substrings
+        probe = chr(0x30000) + chr(0x30001) + chr(0x30002)
+        docs = spark.createDataFrame(
+            rare_rows
+            + [(90_000, " ".join([hot] * 5))]
+            + [(90_001, hot + " " + probe)],
+            ["doc_id", "text"],
+        ).repartition(8)
+        out = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in subword_encode_counts(
+                docs, "doc_id", "text", vocab_k=3, char_k=100,
+                word_pattern=r"\\s+",
+            ).collect()
+        }
+        # hot word is one vocab piece per occurrence
+        assert out[90_000] == (5, 5)
+        # hot word (1 piece) + one 3-char word of rare OOV codepoints
+        # (3 unknown single-char pieces)
+        assert out[90_001] == (2, 1 + 3)
+        # every rare doc: 50 single-codepoint words -> 50 pieces, whether
+        # the codepoint made the cap or not
+        assert out[0] == (50, 50)
+        assert out[len(points) // 50 - 1] == (50, 50)
+
+    def test_charset_cap_none_is_bit_identical(self, spark):
+        """Default char_k=None keeps the historical unbounded behavior —
+        the contract query path must be byte-identical."""
+        from doc_parser_spark.operators.curation import subword_encode_counts
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta{i} gamma delta epsilon word{i}")
+             for i in range(30)],
+            ["doc_id", "text"],
+        )
+        base = sorted(
+            map(tuple, subword_encode_counts(
+                docs, "doc_id", "text", vocab_k=16).collect())
+        )
+        # cap far above the true charset (36 max under the default
+        # pattern): identical output
+        capped = sorted(
+            map(tuple, subword_encode_counts(
+                docs, "doc_id", "text", vocab_k=16, char_k=500).collect())
+        )
+        assert base == capped
