@@ -5827,12 +5827,15 @@ ORACLES["dedup_minhash_lsh_capped"] = ORACLE_MINHASH_LSH_CAPPED
 # append between batches actually works. Oracle re-derives both rounds of
 # classification from the text in SQL.
 # ===========================================================================
-def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc_parser_spark.operators.dedup import (
-        dedup_incremental_indexed,
-        dedup_index,
-    )
-
+def _ingest_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(corpus, batch1, batch2) for the incremental-ingest queries —
+    shared by curate_ingest_indexed and stream_dedup_replay; the SQL twin
+    is _INGEST_TABLES_SQL. batch 1: %4==0 exact dup of corpus, %4==1 near
+    dup of corpus, else novel. batch 2: %4==0 duplicates a BATCH-1 novel
+    (id-38 is %4==2 -> batch 1's novel branch), %4==1 near dup of corpus,
+    else novel."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -5843,7 +5846,6 @@ def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = docs.select(
         F.col("doc_id").alias("s2_id"), F.col("text").alias("s2_text")
     )
-    # batch 1: %4==0 exact dup of corpus, %4==1 near dup of corpus, else novel
     batch1 = (
         docs.where("doc_id >= 120 AND doc_id < 160")
         .join(s, F.col("doc_id") - 120 == F.col("s_id"), "left")
@@ -5857,8 +5859,6 @@ def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
-    # batch 2: %4==0 duplicates a BATCH-1 novel (id-38 is %4==2 -> the novel
-    # branch of batch 1), %4==1 near dup of corpus, else novel
     batch2 = (
         docs.where("doc_id >= 160 AND doc_id < 200")
         .join(s, F.col("doc_id") - 160 == F.col("s_id"), "left")
@@ -5873,6 +5873,16 @@ def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
+    return corpus, batch1, batch2
+
+
+def q_curate_ingest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import (
+        dedup_incremental_indexed,
+        dedup_index,
+    )
+
+    corpus, batch1, batch2 = _ingest_tables(spark, sf_dir)
     idx = dedup_index(corpus, "doc_id", "payload", hashed=True)
     r1 = dedup_incremental_indexed(
         batch1, idx, "doc_id", "payload", threshold=0.2, hashed=True
@@ -5947,8 +5957,9 @@ near_{out} AS (
 )"""
 
 
-ORACLE_CURATE_INGEST = f"""
-WITH docs AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
+# SQL twin of _ingest_tables (shared by both ingest-protocol oracles)
+_INGEST_TABLES_SQL = """
+docs AS (SELECT doc_id::BIGINT AS doc_id, text FROM documents),
 corpus AS (SELECT doc_id, text AS payload FROM docs WHERE doc_id < 120),
 b1 AS (
   SELECT d.doc_id,
@@ -5969,7 +5980,11 @@ b2 AS (
   LEFT JOIN docs s ON s.doc_id = d.doc_id - 160
   LEFT JOIN docs s2 ON s2.doc_id = d.doc_id - 38
   WHERE d.doc_id >= 160 AND d.doc_id < 200
-),
+)"""
+
+
+ORACLE_CURATE_INGEST = f"""
+WITH {_INGEST_TABLES_SQL},
 {_incr_classify_sql('b1', 'corpus', 'cls1')},
 old2 AS (
   SELECT * FROM corpus
@@ -5985,3 +6000,87 @@ SELECT doc_id, status, matched_old_id, 2 AS batch FROM cls2
 
 QUERIES["curate_ingest_indexed"] = q_curate_ingest_indexed
 ORACLES["curate_ingest_indexed"] = ORACLE_CURATE_INGEST
+
+
+# ===========================================================================
+# batch 51 — STREAMING replay-guard semantics as a contract row (round-6
+# verdict #7): incremental_dedup_processor's per-batch logic replayed as a
+# deterministic batch sequence. The crash model: batch 1 ran to completion
+# (its novel rows sit in the accepted state under batch_id=1) but the
+# checkpoint didn't commit, so batch 1 REPLAYS. The replay's old side must
+# be corpus ∪ accepted WHERE batch_id < 1 — built with the SAME
+# guarded_accepted used by the production foreachBatch processors. If the
+# guard broke, every batch-1 novel would classify exact_dup of ITSELF
+# (its first-attempt accepted row), and the oracle — which encodes the
+# guard in SQL — would hash-mismatch.
+# ===========================================================================
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc_parser_spark.operators.dedup import dedup_incremental
+    from doc_parser_spark.streaming.stream import guarded_accepted
+
+    corpus, batch0, batch1 = _ingest_tables(spark, sf_dir)
+
+    # batch 0 processes clean: accepted state gains its novels (batch_id 0)
+    r0 = dedup_incremental(batch0, corpus, "doc_id", "payload", threshold=0.2)
+    acc0 = batch0.join(
+        r0.where("status = 'novel'").select("doc_id"), "doc_id", "semi"
+    ).withColumn("batch_id", F.lit(0))
+
+    # batch 1 FIRST ATTEMPT: old side = corpus ∪ guarded accepted (only
+    # batch 0 rows exist yet); its novels land in accepted under batch_id 1
+    old_first = corpus.unionByName(
+        guarded_accepted(acc0, 1, ["doc_id", "payload"])
+    )
+    r1_first = dedup_incremental(
+        batch1, old_first, "doc_id", "payload", threshold=0.2
+    )
+    acc1 = batch1.join(
+        r1_first.where("status = 'novel'").select("doc_id"), "doc_id", "semi"
+    ).withColumn("batch_id", F.lit(1))
+    accepted_full = acc0.unionByName(acc1)
+
+    # batch 1 REPLAY: the accepted state now CONTAINS the first attempt's
+    # own rows — the guard must exclude exactly those
+    old_replay = corpus.unionByName(
+        guarded_accepted(accepted_full, 1, ["doc_id", "payload"])
+    )
+    r1_replay = dedup_incremental(
+        batch1, old_replay, "doc_id", "payload", threshold=0.2
+    )
+    return r0.withColumn("batch", F.lit(0)).unionByName(
+        r1_replay.withColumn("batch", F.lit(1))
+    )
+
+
+ORACLE_STREAM_REPLAY = f"""
+WITH {_INGEST_TABLES_SQL},
+{_incr_classify_sql('b1', 'corpus', 'cls0')},
+acc0 AS (
+  SELECT b.doc_id, b.payload, 0 AS batch_id FROM b1 b
+  JOIN cls0 ON cls0.doc_id = b.doc_id AND cls0.status = 'novel'
+),
+old_first AS (
+  SELECT doc_id, payload FROM corpus
+  UNION ALL
+  SELECT doc_id, payload FROM acc0 WHERE batch_id < 1
+),
+{_incr_classify_sql('b2', 'old_first', 'cls1_first')},
+accepted_full AS (
+  SELECT * FROM acc0
+  UNION ALL
+  SELECT b.doc_id, b.payload, 1 AS batch_id FROM b2 b
+  JOIN cls1_first c ON c.doc_id = b.doc_id AND c.status = 'novel'
+),
+old_replay AS (
+  SELECT doc_id, payload FROM corpus
+  UNION ALL
+  SELECT doc_id, payload FROM accepted_full WHERE batch_id < 1
+),
+{_incr_classify_sql('b2', 'old_replay', 'cls1_replay')}
+SELECT doc_id, status, matched_old_id, 0 AS batch FROM cls0
+UNION ALL
+SELECT doc_id, status, matched_old_id, 1 AS batch FROM cls1_replay
+"""
+
+QUERIES["stream_dedup_replay"] = q_stream_dedup_replay
+ORACLES["stream_dedup_replay"] = ORACLE_STREAM_REPLAY

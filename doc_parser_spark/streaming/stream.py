@@ -93,6 +93,20 @@ def dedup_stream(
     )
 
 
+def guarded_accepted(
+    accepted_raw: DataFrame, batch_id: int, cols: list[str]
+) -> DataFrame:
+    """THE replay guard (shared by both foreachBatch processors and the
+    ``stream_dedup_replay`` contract query): when batch ``batch_id``
+    replays after a crash, the accepted state may already contain the
+    first attempt's rows under the SAME batch_id — without this filter
+    the replay would classify the batch's own novels as exact_dup of
+    themselves (a replay divergence, not just a duplicate row)."""
+    return accepted_raw.where(
+        F.col("batch_id") < F.lit(batch_id)
+    ).select(*cols)
+
+
 def incremental_dedup_processor(
     corpus_path: str,
     accepted_path: str,
@@ -142,13 +156,9 @@ def incremental_dedup_processor(
             # checkpoint retries it; swallowing it would classify prior
             # novels as novel again: a permanent dedup leak.
         if accepted_raw is not None:
-            accepted = (
-                # replay guard: exclude any rows a crashed first attempt
-                # of THIS batch (or a later uncommitted one) already wrote
-                accepted_raw.where(F.col("batch_id") < F.lit(batch_id))
-                .select(id_col, text_col)
+            corpus = corpus.unionByName(
+                guarded_accepted(accepted_raw, batch_id, [id_col, text_col])
             )
-            corpus = corpus.unionByName(accepted)
         mb = mb.persist()
         res = dedup_incremental(
             mb, corpus, id_col, text_col, **dedup_kwargs
@@ -219,9 +229,10 @@ def indexed_dedup_processor(
         except AnalysisException:
             accepted_raw = None  # first batch: no accepted index yet
         if accepted_raw is not None:
-            accepted = accepted_raw.where(
-                F.col("batch_id") < F.lit(batch_id)
-            ).drop("batch_id")
+            accepted = guarded_accepted(
+                accepted_raw, batch_id,
+                [c for c in accepted_raw.columns if c != "batch_id"],
+            )
             # a hashed/unhashed mismatch between corpus index and novel
             # index rows must fail loudly here, not vanish the old side
             idx = idx.unionByName(accepted)
