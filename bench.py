@@ -415,7 +415,11 @@ def main() -> None:
             "the normalized figure is the cluster-relevant one.\n\n"
             + (
                 f"scaling efficiency local[{SCALE_N*4}] → local[{CPUS}]: "
-                f"{eff_full:.3f}\n\n"
+                f"{eff_full:.3f} — unpaired/unpinned continuity figure "
+                "only; the round-7 NOTES entry measured iso-frequency "
+                "8→32 at 0.891 on a 10× corpus and showed this number is "
+                "dominated by the ~1-2 s fixed per-job overhead at the "
+                "bench corpus's ~3 s walls (pure-work ratio 0.96-0.98).\n\n"
                 if eff_full
                 else ""
             )
