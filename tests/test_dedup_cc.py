@@ -197,3 +197,70 @@ class TestHotBucketCap:
         assert set(labels.values()) == {0}
         assert len(labels) > 8_000
         assert wall < 120, f"hot-bucket path took {wall:.0f}s"
+
+
+class TestHotBucketCapChainBoundary:
+    """The cap's documented recall boundary, CONSTRUCTED and measured.
+
+    The star substitution keeps clusters identical for template families
+    (mutually near-dup — proven above and on the 322-family corpus), and
+    the docstring states recall is lost only for pairs inside an oversized
+    bucket that are similar to each other but NOT to the min-id hub.  This
+    test builds the worst case for that clause: a similarity CHAIN whose
+    members all share one hot (band, bucket) — four 3-gram shingles chosen
+    by offline search to have near-minimal md5 under band-0's four salts,
+    so band 0 is pinned identically for every member while band 1 stays
+    drift-dominated — but where only ADJACENT members clear the Jaccard
+    threshold (J_adj ≈ 0.27 vs J_hub ≈ 0.03).  Uncapped, the all-pairs
+    bucket join finds every adjacent link and connected components keeps
+    ONE chain cluster; capped, the star only verifies hub-adjacent pairs
+    and the chain shatters.  Versioned-document streams are the real-world
+    shape of this corpus; for them raise max_bucket above the expected
+    version-family size (or run uncapped) — the cap is tuned for template
+    families, where it is lossless.
+    """
+
+    # argmin of md5(f"{salt}|{triple}") over 400k md5-derived triples per
+    # band-0 salt (deterministic offline search; see docs/SCALE.md round 7)
+    MAGIC = [
+        "w6ac202bc w0f6a2092 w2c11dc39",  # md5("0|...") = 000040e72d72...
+        "wa6da59c7 w2c7a9b0e wdf030b9e",  # md5("1|...") = 00001455cd4f...
+        "wbdd0b38c w58ac6a5c w0e2d9b61",  # md5("2|...") = 000002f87991...
+        "wfb17fc59 wbeee78f9 w670bda2e",  # md5("3|...") = 00005ccfd15c...
+    ]
+
+    def _chain(self, spark, m=40, L=150, step=90):
+        import hashlib
+
+        def word(i):
+            return "w" + hashlib.md5(f"chain|{i}".encode()).hexdigest()[:8]
+
+        template = " ".join(self.MAGIC)
+        stream = [word(i) for i in range(m * step + L)]
+        rows = [
+            (i, template + " " + " ".join(stream[i * step : i * step + L]))
+            for i in range(m)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_chain_shatters_under_cap_but_not_uncapped(self, spark):
+        df = self._chain(spark, m=40)
+        full = lsh_candidate_pairs(df, "doc_id", "text", threshold=0.2)
+        capped = lsh_candidate_pairs(
+            df, "doc_id", "text", threshold=0.2, max_bucket=20
+        )
+        fp = {(r["a_id"], r["b_id"]) for r in full.collect()}
+        cp = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+        # the hot band collides every adjacent pair; verification passes
+        # exactly the 39 chain links (plus no distant pair: J ~ 0.03)
+        assert fp == {(i, i + 1) for i in range(39)}
+        # capped: the star verifies only the hub-adjacent link (0,1);
+        # band 1 may rescue the odd adjacent pair (P = J^4 ~ 0.5% each)
+        assert cp <= fp
+        assert len(cp) <= 4
+        # cluster-level: ONE 40-member chain uncapped vs a shatter capped
+        lf = _labels(connected_components(full))
+        lc = _labels(connected_components(capped))
+        assert len(set(lf.values())) == 1 and len(lf) == 40
+        assert len(set(lc.values())) <= 4  # only surviving links cluster
+        assert len(lc) <= 8  # nearly all members drop to singletons
