@@ -1061,11 +1061,16 @@ def subword_encode_counts(
     "unknown" piece (n_subwords still counts it once). The collect is
     then O(vocab_k + char_k) regardless of corpus size.
     """
+    # word_pattern lands inside a single-quoted Spark SQL literal, whose
+    # parser consumes backslash escapes — without re-escaping, r"\s+"
+    # would reach the regex engine as "s+" (split on the LETTER s) with
+    # no error, and a quote would break out of the literal entirely
+    sql_pattern = word_pattern.replace("\\", "\\\\").replace("'", "\\'")
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"filter(split(lower({text_col}), '{word_pattern}'), "
+                f"filter(split(lower({text_col}), '{sql_pattern}'), "
                 "w -> w != '')"
             )
         ).alias("word"),

@@ -168,19 +168,11 @@ def run_curation(
     write to release the cached dedup intermediate."""
     observations: dict[str, Observation] = {}
 
-    extracted = extract_turns(transcripts, boilerplate_mode=boilerplate_mode)
-    extracted = extracted.withColumn(
-        "uid", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    # 1. extract + quality gate (parse succeeded, non-empty, not glyph
+    # garbage) — shared with the indexed ingest path below
+    kept = _extract_gate(
+        transcripts, observations, min_quality, boilerplate_mode
     )
-    extracted = _observe(extracted, observations, "extracted")
-
-    # 1. quality gate: parse succeeded, non-empty, not glyph garbage
-    kept = extracted.where(
-        F.col("parse_status").isin(STATUS_SUCCESS, STATUS_PARTIAL)
-        & (F.col("n_char") > 0)
-        & (F.coalesce(F.col("parse_score"), F.lit(0.0)) >= min_quality)
-    )
-    kept = _observe(kept, observations, "quality_kept")
 
     # 2. exact dedup on the extracted main text
     deduped = exact_dedup(kept, "uid", "extracted_text").where("keep").drop(
@@ -232,10 +224,6 @@ def run_curation(
 # (dedup_index / dedup_incremental_indexed, round 6: 158 s -> 4.5 s per 5k
 # batch vs a 1M corpus) into the curation plan.
 # ---------------------------------------------------------------------------
-_INGEST_STAGES = ("extracted", "quality_kept", "exact_unique",
-                  "near_dup_unique", "novel", "vectors")
-
-
 def _extract_gate(
     transcripts: DataFrame,
     observations: dict[str, Observation],
@@ -264,7 +252,7 @@ def build_curation_index(
     boilerplate_mode: str = "reference",
     hashed: bool = True,
     k: int = 8,
-    bands: int = 2,
+    bands: int = 8,
     n: int = 3,
 ) -> DataFrame:
     """One-pass materialized dedup index over a corpus of transcripts:
@@ -274,7 +262,15 @@ def build_curation_index(
     text. ``hashed=True`` (default — the at-scale setting) stores xxhash64
     shingle arrays: 8 bytes/shingle instead of the raw trigram strings.
     The (k, bands, n, hashed) parameters are part of the index's identity:
-    pass the SAME values to every ``curate_ingest`` against it."""
+    pass the SAME values to every ``curate_ingest`` against it.
+
+    ``bands=8`` (1 minhash row per band) matches run_curation's in-batch
+    near-dup policy: candidate recall 1-(1-j)^8 ≈ 1.0 for j ≥ 0.7. The
+    operator default (bands=2, rows=4) would silently cap vs-corpus
+    candidate recall at ~42% for j = 0.7 — a near-dup admitted as novel
+    is permanent, so the index pays 8 bucket rows/doc for parity with
+    the one-shot path (bucket rows are constant-width; the shingle
+    array, the index's real bulk, is unaffected)."""
     from doc_parser_spark.operators.dedup import dedup_index
 
     observations: dict[str, Observation] = {}
@@ -297,7 +293,7 @@ def curate_ingest(
     lsh_max_bucket: int | None = 1000,
     hashed: bool = True,
     k: int = 8,
-    bands: int = 2,
+    bands: int = 8,
     n: int = 3,
 ) -> tuple[DataFrame, DataFrame, CurationStats]:
     """Incremental curation ingest of ONE batch against a standing corpus
@@ -344,6 +340,10 @@ def curate_ingest(
     losers = pairs.select(F.col("b_id").alias("uid")).distinct()
     survivors = deduped.join(losers, "uid", "left_anti")
     survivors = _observe(survivors, observations, "near_dup_unique")
+    # fork point: consumed by the classification lineage AND the novels
+    # semi-join — without the cache the in-batch LSH pipeline re-evaluates
+    # per branch (the differing projections defeat ReuseExchange)
+    survivors = survivors.cache()
 
     # vs-corpus classification: batch-sized joins against the index only.
     # cast_matched=None — uids are strings; ANSI mode would throw on the
@@ -369,5 +369,5 @@ def curate_ingest(
     vectors = _observe(vectors, observations, "vectors")
 
     return vectors, novel_index, CurationStats(
-        vectors, observations, (deduped, novels)
+        vectors, observations, (deduped, survivors, novels)
     )

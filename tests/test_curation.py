@@ -914,7 +914,7 @@ class TestSubwordEncode:
             r["doc_id"]: (r["n_words"], r["n_subwords"])
             for r in subword_encode_counts(
                 docs, "doc_id", "text", vocab_k=3, char_k=100,
-                word_pattern=r"\\s+",
+                word_pattern=r"\s+",
             ).collect()
         }
         # hot word is one vocab piece per occurrence

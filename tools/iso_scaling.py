@@ -86,6 +86,8 @@ def main() -> None:
         }
         iso_small.append(rec["iso_small"])
         if a.corpus_big:
+            if a.k <= 1:
+                raise SystemExit("--k must be > 1 (corpus_big/corpus ratio)")
             lob = run_level(a.corpus_big, a.low, pin_lo, burn_lo, a.runs)
             hib = run_level(a.corpus_big, a.high, pin_hi, "", a.runs)
             rec["iso_big"] = round(
@@ -97,11 +99,19 @@ def main() -> None:
             rec["fixed_overhead_s"] = {
                 "low": round(f_lo, 3), "high": round(f_hi, 3)
             }
-            rec["pure_work_ratio"] = round(
-                ((lob["wall_s"] - f_lo) / (hib["wall_s"] - f_hi))
-                / (a.high / a.low), 4,
-            )
-            pure.append(rec["pure_work_ratio"])
+            # a drifting window can put the solved overhead at/above the
+            # measured wall (or below zero) — the decomposition is then
+            # non-physical for this round; flag it and keep it out of the
+            # pure-work median rather than corrupting the headline figure
+            if 0 <= f_lo < lob["wall_s"] and 0 <= f_hi < hib["wall_s"]:
+                rec["pure_work_ratio"] = round(
+                    ((lob["wall_s"] - f_lo) / (hib["wall_s"] - f_hi))
+                    / (a.high / a.low), 4,
+                )
+                pure.append(rec["pure_work_ratio"])
+            else:
+                rec["pure_work_ratio"] = None
+                rec["overhead_estimate_unstable"] = True
             rec["walls_low_big"] = lob["walls"]
             rec["walls_high_big"] = hib["walls"]
         rec["dvfs_ceiling"] = round(dvfs_ceiling(a.low, a.high), 4)
