@@ -182,6 +182,16 @@ def lsh_candidate_pairs(
     contract queries).
     """
     buckets = lsh_buckets(df, id_col, text_col, k, bands, n)
+    # fork point: the bucket table feeds up to four plan branches (bucket
+    # sizing, both sides of the self-join, the star split). Without
+    # materialization EACH branch re-derives shingles + minhash + banding
+    # from the full text — measured 4-5 evaluations per action, making a
+    # zero-pair batch pay ~4x the minhash cost (round-7 profile: 10.5 s ->
+    # 4 s on a 9.2k-doc batch). Rows are constant-width (id, band, bucket),
+    # so the cache is cheap at any scale and, unlike localCheckpoint,
+    # evictable + recomputable (no failure cliff); the ContextCleaner
+    # releases it when the frame is garbage-collected.
+    buckets = buckets.cache()
     if max_bucket is not None:
         # same shuffle key as the self-join; constant-width rows throughout
         sizes = buckets.groupBy("band", "bucket").agg(
