@@ -24,6 +24,69 @@ DEFAULT_SHINGLE = 3
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 2
 
+# connected_components: rows per edge partition (two longs ≈ 16 B/row →
+# ~64 MB partitions). Derived from the measured edge count so per-round
+# stage width tracks the data at ANY scale instead of the session's
+# shuffle-partition constant (guide: make partitioning scale-adaptive).
+_CC_EDGES_PER_PARTITION = 4_000_000
+
+# connected_components: symmetric edge rows at or below this measured count
+# are collected and solved driver-side (vectorized numpy label propagation)
+# instead of running 2-5 distributed rounds of joins over a graph that fits
+# in one task. 1M rows of two longs ≈ 16 MB — the same order as a broadcast
+# join side, bounded BEFORE the collect by the count that also sizes the
+# distributed path's partitions. Big graphs take the distributed path
+# unchanged.
+_CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _cc_driver(edges0: DataFrame, max_iterations: int) -> DataFrame:
+    """Driver-side connected components over a SMALL symmetric distinct edge
+    table (bounded by ``_CC_DRIVER_MAX_EDGES`` — the caller has already
+    counted it). Vectorized mirror of the distributed loop — identical
+    round structure (seed = min(self, min neighbour); per round: one
+    neighbour-min propagation + one pointer jump; stop when a round changes
+    nothing; same round cap), so convergence semantics and output are
+    bit-identical to the distributed path, just without per-round job
+    overhead."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = edges0.sparkSession
+    dtype = edges0.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id", dtype), T.StructField("cluster_id", dtype)]
+    )
+    pdf = edges0.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    vals = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
+    # np.unique sorts, so label codes order exactly like the ids themselves
+    # (numpy str comparison = code points = Spark's UTF8 binary order) and
+    # min-code ⇔ min-id
+    uniq, inv = np.unique(vals, return_inverse=True)
+    m = len(pdf)
+    src, dst = inv[:m], inv[m:]
+    labels = np.arange(len(uniq), dtype=np.int64)
+    # seed: min(self, min neighbour) — labels[src] == src at this point
+    np.minimum.at(labels, dst, src)
+    for _ in range(max_iterations):
+        prop = labels.copy()
+        np.minimum.at(prop, dst, labels[src])  # neighbour-min + self
+        new = np.minimum(prop, prop[prop])  # pointer jump (path halving)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — component diameter exceeds the cap"
+        )
+    import pandas as pd
+
+    out = pd.DataFrame({"id": uniq, "cluster_id": uniq[labels]})
+    return spark.createDataFrame(out, schema=out_schema)
+
 
 def shingle_expr(text_col: str, n: int = DEFAULT_SHINGLE) -> str:
     """SQL expression: distinct word n-gram shingles of a text column.
@@ -192,6 +255,12 @@ def lsh_candidate_pairs(
     # evictable + recomputable (no failure cliff); the ContextCleaner
     # releases it when the frame is garbage-collected.
     buckets = buckets.cache()
+    # keep a handle on the CACHED frame (the max_bucket branch rebinds
+    # ``buckets`` to a derived projection) so it can be exposed for
+    # explicit release below — a long-lived ingest driver looping
+    # curate_ingest per batch must not depend on GC/ContextCleaner timing
+    # to reclaim the cached blocks (round-7 ADVICE).
+    cached_buckets = buckets
     if max_bucket is not None:
         # same shuffle key as the self-join; constant-width rows throughout
         sizes = buckets.groupBy("band", "bucket").agg(
@@ -225,13 +294,18 @@ def lsh_candidate_pairs(
     sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("id"), "shingles"
     )
-    return (
+    out = (
         cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("b_id") == F.col("sb.id"))
         .withColumn("jaccard", F.expr(jaccard_expr("sa.shingles", "sb.shingles")))
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
     )
+    # release handle for the internal fork-point cache: callers that loop
+    # (plans/curate.py registers it in CurationStats._cached) unpersist it
+    # deterministically after their terminal action
+    out._lsh_bucket_cache = cached_buckets  # type: ignore[attr-defined]
+    return out
 
 
 def simhash(
@@ -307,25 +381,63 @@ def connected_components(
     groupBy(dst).min. Rounds = cluster diameter; LSH duplicate clusters are
     near-cliques, so 2-4 rounds in practice regardless of corpus size.
 
-    Each round ends in an eager ``localCheckpoint`` — the label plan feeds
-    TWO consumers per round (the neighbour-min join and the update join),
-    so without lineage truncation the logical plan doubles every round
+    Each round ends in a ``localCheckpoint`` — the label plan feeds TWO
+    consumers per round (the neighbour-min join and the update join), so
+    without lineage truncation the logical plan doubles every round
     (2^rounds copies: a driver-side StackOverflow long before data size
     matters). Checkpointing pins plan depth at one join regardless of
     round count. On a real cluster with executor churn, swap in a reliable
     ``checkpoint(dir)`` — same shape, replicated storage.
+
+    Round-8 per-round overhead tuning (measured: fixed per-round cost, not
+    data volume, dominated the contract-scale wall — 1.35 s for 2 rounds on
+    a 200-edge graph at 64 pinned shuffle partitions, 0.63 s at 1):
+
+    - the edge table's partition count derives from its MEASURED row count
+      (one cached-read ``count`` after the distinct materializes), not from
+      ``spark.sql.shuffle.partitions``: a session constant is tuned to one
+      scale — on a small graph every one of ~5 per-round stages schedules
+      64 near-empty tasks, and on a 10^10-edge graph 64 partitions would
+      be 100s of GB each. ``_CC_EDGES_PER_PARTITION`` (4M rows ≈ 64 MB of
+      two-long rows) keeps per-task state bounded at any scale; the
+      per-round label exchanges stay AQE-coalesced as before.
+    - labels seed as ``least(id, min(neighbour))`` — one aggregate over
+      the src-partitioned edge table, which IS the first propagation round
+      for free (no join, no jump needed for it);
+    - the per-round checkpoint is LAZY and the convergence ``count``
+      materializes it, so each round runs ONE Spark job instead of two;
+    - a graph whose measured symmetric edge count is at most
+      ``_CC_DRIVER_MAX_EDGES`` (≈16 MB of constant-width rows — broadcast-
+      side order of magnitude) skips the distributed rounds entirely:
+      ``_cc_driver`` runs the SAME algorithm vectorized on the driver.
+      Spark's own planner makes the analogous call when it broadcasts a
+      small join side; five distributed barriers for a one-task graph is
+      pure overhead at any cluster size.
     """
+    import math
+
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = sym.distinct().repartition("src").persist()
+    edges0 = sym.distinct().persist()
+    n_edges = edges0.count()
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        try:
+            return _cc_driver(edges0, max_iterations)
+        finally:
+            edges0.unpersist()
+    n_part = max(1, math.ceil(n_edges / _CC_EDGES_PER_PARTITION))
+    edges = edges0.repartition(n_part, "src").persist()
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nmin")).alias("label"),
+        )
+        .localCheckpoint(eager=False)
     )
     try:
         for _ in range(max_iterations):
@@ -359,7 +471,8 @@ def connected_components(
                     F.col("mid_label"),
                     F.coalesce(F.col("jlabel"), F.col("mid_label")),
                 ).alias("new_label"),
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
+            # ONE job: materializes the lazy checkpoint AND counts changes
             changed = step.where(F.col("new_label") < F.col("label")).count()
             labels = step.select("id", F.col("new_label").alias("label"))
             if changed == 0:
@@ -372,6 +485,7 @@ def connected_components(
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+        edges0.unpersist()
 
 
 def cluster_canonical(

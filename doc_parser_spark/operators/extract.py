@@ -2,12 +2,13 @@
 
 Spark-first design notes (SURVEY.md §3.4):
 
-- routing: a vectorized sniff assigns ``content_type``; the caller
-  repartitions on (content_type, conv_id, turn_idx) before the heavy parse so
-  partitions are content-homogeneous *and* salted — a single whale
-  conversation (10^6 turns) spreads across the cluster instead of pinning one
-  task (north-rule skew requirement). Extraction is per-turn, so no
-  cross-row state is needed and the stage is embarrassingly parallel.
+- routing: rows repartition on (conv_id, turn_idx) before the heavy parse —
+  turn-level salting, so a single whale conversation (10^6 turns) spreads
+  across the cluster instead of pinning one task (north-rule skew
+  requirement). The content-type sniff runs INSIDE the extraction batch
+  (one Python boundary crossing, not two — round 8). Extraction is
+  per-turn, so no cross-row state is needed and the stage is
+  embarrassingly parallel.
 - per-row reliability: the reference's dual-converter fallback
   (/root/reference/genon/preprocessor/facade/intelligent_processor.py:1055-1069)
   becomes a per-row try/except chain inside the batch: primary extractor →
@@ -290,27 +291,31 @@ def extract_turns(
 ) -> DataFrame:
     """transcripts → extracted rows (EXTRACTED_SCHEMA).
 
-    Sniffs content type, repartitions by (content_type, conv_id, turn_idx) —
-    content-homogeneous + salted against whale conversations — then runs the
-    Arrow-batched extraction.
+    Repartitions by (conv_id, turn_idx) — turn-level salting against whale
+    conversations — then runs the Arrow-batched extraction, which sniffs
+    content type in-batch.
+
+    Round-8 note: the sniff used to run as a SEPARATE pandas UDF before the
+    routing shuffle so the repartition key could include content_type. But
+    (conv_id, turn_idx) is already unique per row, so hashing the extra
+    column changes nothing about the distribution (partitions were never
+    content-homogeneous), while the pre-shuffle ArrowEvalPython node cost a
+    second full JVM→Python→JVM round trip for every row (guide §4.1) and
+    shuffled one extra string column. The extraction UDF has always sniffed
+    in-batch when content_type is absent; routing now relies on that.
     """
     # explicit projection: Catalyst cannot prune through mapInPandas (the
     # UDF is a black box receiving every child column), so unused transcript
     # columns (role/tool/ts) would otherwise be scanned AND shuffled
-    typed = with_content_type(df.select("conv_id", "turn_idx", "text"))
+    typed = df.select("conv_id", "turn_idx", "text")
     if route_partitions == 0:
         pass  # no routing shuffle (streaming micro-batches are pre-split)
     elif route_partitions:
         typed = typed.repartition(
-            route_partitions,
-            F.col("content_type"),
-            F.col("conv_id"),
-            F.col("turn_idx"),
+            route_partitions, F.col("conv_id"), F.col("turn_idx")
         )
     else:
-        typed = typed.repartition(
-            F.col("content_type"), F.col("conv_id"), F.col("turn_idx")
-        )
+        typed = typed.repartition(F.col("conv_id"), F.col("turn_idx"))
     out = typed.mapInPandas(
         make_extract_udf(boilerplate_mode), schema=EXTRACT_OUTPUT_SCHEMA
     )

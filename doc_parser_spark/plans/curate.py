@@ -39,28 +39,39 @@ class CurationStats(dict):
     has run, ONE fallback count() fires and fills every stage at once —
     the worst case is one extra job, never five.
 
-    ``unpersist()`` releases the cached dedup-survivor intermediate (kept
-    cached because the LSH-pair branch and the survivor anti-join both
-    consume it inside the single action)."""
+    ``unpersist()`` releases every plan-level cached intermediate — the
+    dedup-survivor fork points AND lsh_candidate_pairs' internal bucket
+    cache (exposed via the pair frame's ``_lsh_bucket_cache`` handle) — so
+    a long-lived ingest driver looping batches never depends on
+    GC/ContextCleaner timing to reclaim cached blocks."""
 
     def __init__(self, vectors: DataFrame, observations: dict[str, Observation],
                  cached):
         super().__init__()
         self._vectors = vectors
         self._observations = observations
-        self._cached = (
-            (cached,) if isinstance(cached, DataFrame) else tuple(cached)
+        self._cached = tuple(
+            df
+            for df in (
+                (cached,) if isinstance(cached, DataFrame) else tuple(cached)
+            )
+            if df is not None
         )
         self._filled = False
 
     def _fill(self) -> None:
         if self._filled:
             return
-        # probe the LAST observation ("vectors"): in curate_ingest an
+        # probe the "vectors" observation BY NAME (it belongs to the frame
+        # ``self._vectors`` the fallback count runs on): in curate_ingest an
         # action on the novel_index BRANCH fires the upstream observations
         # but never the vectors one — probing the first would then block
-        # forever on obs.get below
-        last = list(self._observations.values())[-1]
+        # forever on obs.get below, and probing "whatever was inserted
+        # last" would silently break if a later stage were ever observed
+        # after vectors (round-7 ADVICE).
+        last = self._observations.get(
+            "vectors", list(self._observations.values())[-1]
+        )
         try:
             action_ran = not last._jo.getOrEmpty().isEmpty()
         except Exception:  # private-API drift → safe fallback
@@ -212,7 +223,11 @@ def run_curation(
     vectors = compose_vectors(chunks)
     vectors = _observe(vectors, observations, "vectors")
 
-    return vectors, CurationStats(vectors, observations, deduped)
+    return vectors, CurationStats(
+        vectors,
+        observations,
+        (deduped, getattr(pairs, "_lsh_bucket_cache", None)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -333,9 +348,13 @@ def curate_ingest(
     )
     deduped = _observe(deduped, observations, "exact_unique")
     deduped = deduped.cache()  # LSH-pair branch + anti-join fork point
+    # n=n: the shingle size is part of the index identity — the in-batch
+    # pass must shingle the same way as the vs-corpus classification
+    # below (k/bands stay pinned to run_curation's in-batch policy; see
+    # build_curation_index's recall note). Round-7 ADVICE.
     pairs = lsh_candidate_pairs(
         deduped, "uid", "extracted_text", threshold=near_dup_jaccard,
-        k=8, bands=8, max_bucket=lsh_max_bucket,
+        k=8, bands=8, n=n, max_bucket=lsh_max_bucket,
     )
     losers = pairs.select(F.col("b_id").alias("uid")).distinct()
     survivors = deduped.join(losers, "uid", "left_anti")
@@ -369,5 +388,12 @@ def curate_ingest(
     vectors = _observe(vectors, observations, "vectors")
 
     return vectors, novel_index, CurationStats(
-        vectors, observations, (deduped, survivors, novels)
+        vectors,
+        observations,
+        (
+            deduped,
+            survivors,
+            novels,
+            getattr(pairs, "_lsh_bucket_cache", None),
+        ),
     )
