@@ -276,8 +276,16 @@ def tfidf_top_terms(
         ).alias("term"),
     )
     doc_tok = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # count(when(tf > 0, 1)) == count(*) (tf ≥ 1 by construction), but the
+    # tf reference stops ColumnPruning from rewriting this branch's first
+    # aggregate into a bare DISTINCT — with the column pruned, the two
+    # (id, term) shuffles stop being canonically equal and Spark computes
+    # the corpus tokenize + partial-aggregate pass TWICE (measured: zero
+    # ReusedExchange). With it, the doc_tok exchange is built once and
+    # ReusedExchange feeds the docfreq rollup (round 8; plan evidence in
+    # plans/r08/text_tfidf_topk_after.txt).
     docfreq = doc_tok.groupBy("term").agg(
-        F.count("*").cast("double").alias("df_count")
+        F.count(F.when(F.col("tf") > 0, 1)).cast("double").alias("df_count")
     )
     n_docs = df.select(
         F.count("*").cast("double").alias("n_docs")

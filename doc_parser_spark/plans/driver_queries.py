@@ -353,10 +353,19 @@ def q_o6_confidence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap to percentile_approx (t-digest, map-side combinable) — the oracle
     pins the exact variant because approx sketches aren't reproducible
     across engines."""
-    scored = q_p1_text_quality(spark, sf_dir).join(
-        _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "lang"),
-        "doc_id",
+    # round 8: lang rides the same scan as the payload — the old
+    # q_p1 ⋈ docs self-join re-read the parquet and shuffled/broadcast
+    # 1:1-matching rows only to re-attach a column that was already on
+    # the row (quality per doc unchanged, so the aggregate is identical)
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.expr(PAYLOAD_QUALITY).alias("payload")
     )
+
+    @F.pandas_udf(T.DoubleType())
+    def _rate(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(rate_text_quality)
+
+    scored = docs.select("lang", F.round(_rate("payload"), 4).alias("quality"))
     agg = scored.groupBy("lang").agg(
         F.round(F.avg("quality"), 4).alias("avg_score"),
         F.round(F.expr("percentile(quality, 0.1)"), 4).alias("p10_score"),
@@ -3130,6 +3139,14 @@ WHERE d.doc_id < 240
 """
 
 
+_CHAIN_CACHE_NOTE = """round 8: the chain corpus feeds 3-8 plan branches per
+consuming query (LSH shingle sides, canonical join, decontamination corpus +
+benchmark, LM tokenize, pack join) and each branch re-runs the
+documents⋈documents payload join — cache the 240-row fork point (the same
+multi-consumer rule as lsh_candidate_pairs' bucket cache; trivially small,
+evictable, recomputed from parquet whenever absent)."""
+
+
 def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).alias("d")
     b = (
@@ -3158,6 +3175,7 @@ def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("payload"),
         )
+        .cache()  # see _CHAIN_CACHE_NOTE
     )
 
 
