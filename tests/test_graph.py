@@ -32,6 +32,35 @@ class TestTriangles:
         e = [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1)]
         assert triangle_count(_edges(spark, e)).collect()[0][0] == 1
 
+    def test_star_hub_materializes_no_wedge_explosion(self, spark):
+        """Round-7 verdict #3: a power-law hub with a SMALL id must not
+        generate C(d, 2) wedge rows. Under (degree, id) orientation every
+        star edge points AT the hub (leaves have degree 1), so the hub has
+        out-degree 0 and the wedge row count is bounded by the planted
+        triangles, not the hub degree."""
+        from doc_parser_spark.operators.graph import _oriented_wedges
+
+        d = 60
+        star = [(0, i) for i in range(1, d + 1)]  # hub id 0: worst case
+        # plus one triangle away from the hub
+        extra = [(1, 2)]
+        edges = _edges(spark, star + extra)
+        _oriented, wedges = _oriented_wedges(edges)
+        n_wedges = wedges.count()
+        # id orientation would give C(60, 2) = 1770 wedges from the hub;
+        # degree orientation: only the two triangle-participating leaves
+        # (degree 2) can emit wedges
+        assert n_wedges <= 4, n_wedges
+        assert triangle_count(edges).collect()[0][0] == 1
+
+    def test_high_degree_triangle_correct(self, spark):
+        # triangles THROUGH the hub still counted once under the new
+        # orientation: hub 0 + ring edges among leaves
+        star = [(0, i) for i in range(1, 11)]
+        ring = [(i, i + 1) for i in range(1, 10)]
+        got = triangle_count(_edges(spark, star + ring)).collect()[0][0]
+        assert got == 9  # each ring edge closes one triangle with the hub
+
 
 class TestPagerank:
     def _reference(self, pairs, iters=3, d=0.85):
@@ -76,3 +105,23 @@ class TestPagerank:
         pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
         got = pagerank(_edges(spark, pairs), iters=3).collect()
         assert sum(r["rank"] for r in got) == pytest.approx(1.0, abs=1e-6)
+
+    def test_iters_20_bounded_plan_and_matches_reference(self, spark):
+        """Round-7 verdict #4: per-round lazy localCheckpoint + persisted
+        sym/deg/nodes — 20 iterations must neither nest 20 rounds of
+        lineage into one plan nor blow up; values still match the pure
+        python reference."""
+        import io
+        from contextlib import redirect_stdout
+
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+                 (2, 7)]
+        out = pagerank(_edges(spark, pairs), iters=20)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        assert len(buf.getvalue()) < 20_000
+        got = {r["id"]: r["rank"] for r in out.collect()}
+        exp = self._reference(pairs, iters=20)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=1e-8)
