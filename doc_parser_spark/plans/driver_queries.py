@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from doc_parser_spark.functions.plain_extract import split_paragraphs
-from doc_parser_spark.functions.quality import rate_text_quality
 from doc_parser_spark.functions.sanitize import sanitize_text
 from doc_parser_spark.operators.extract import extract_turns, with_content_type
 
@@ -161,7 +160,12 @@ _PARA_SCHEMA = T.StructType(
 )
 
 
-def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _paragraphs_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference implementation: the flush loop row-at-a-time in Python.
+
+    Kept ONLY as the parity baseline for tests/test_r08_jvm_parity.py —
+    the query path uses the JVM ``_paragraphs`` below (round 8, guide §4:
+    same semantics, no Python boundary)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(PAYLOAD_PARAS).alias("payload")
     )
@@ -177,6 +181,43 @@ def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, schema=_PARA_SCHEMA)
+
+
+def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blank-line paragraph segmentation, fully in JVM expressions (round 8).
+
+    The old mapInPandas ran ``split_paragraphs`` row-at-a-time in Python —
+    an Arrow round trip plus a per-row Python loop for logic the oracle
+    itself states relationally (split on the exact "\\n \\n" separator,
+    collapse intra-paragraph line breaks, trim, drop empties, re-index).
+    This mirrors that relational form with split/transform/filter/
+    posexplode so the whole query stays in WholeStageCodegen: no
+    BatchEvalPython/ArrowEvalPython node, no shuffle (the paragraph index
+    is the position in the filtered array, not a window).
+
+    Equivalence to the flush loop on this payload shape (text carries no
+    raw newlines; every separator is the injected "\\n \\n") is pinned by
+    tests/test_r08_jvm_parity.py against ``_paragraphs_py`` and by the
+    standing DuckDB gates (b2/o1/c2/o1_vector_meta_full oracles).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PAYLOAD_PARAS).alias("payload")
+    )
+    paras = F.filter(
+        F.transform(
+            F.split(F.col("payload"), "\n \n"),
+            lambda x: F.trim(F.regexp_replace(x, "[ \t]*\n[ \t]*", " ")),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(paras).alias("_pos", "para"),
+    ).select(
+        "doc_id",
+        (F.col("_pos") + 1).cast("int").alias("para_idx"),
+        "para",
+    )
 
 
 def q_b2_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,18 +252,53 @@ FROM cleaned WHERE para <> ''
 # ---------------------------------------------------------------------------
 # P1 — text-quality scoring (page_preprocessing_model.py:116-141)
 # ---------------------------------------------------------------------------
+def _quality_col(payload: "F.Column") -> "F.Column":
+    """``rate_text_quality`` as a JVM expression (round 8, guide §4).
+
+    Mirrors functions/quality.py:19-37 branch for branch, including the
+    exact substring fast path (no '/', no '\\ufffd', no 'GLYPH<' → 1.0)
+    so clean text never runs a regex; the regexes are byte-identical to
+    the Python ones (Java and Python agree on these ASCII-only patterns —
+    pinned by tests/test_r08_jvm_parity.py, exact double equality).
+    The old pandas UDF shipped every payload across the Arrow boundary
+    just to run four regex probes; this keeps the whole scorer inside
+    WholeStageCodegen (no ArrowEvalPython node).
+    """
+    # (?U) = Java UNICODE_CHARACTER_CLASS: makes \w/\d/\s/\b Unicode-aware
+    # like Python's re, so e.g. '/é /û' garbage and Unicode digits after
+    # /G score identically to rate_text_quality (pinned by the
+    # adversarial parity test)
+    frag = F.regexp_count(
+        payload, F.lit(r"(?U)\b[A-Za-z](?:/[a-z]{1,3}\.[a-z]{1,3}){2,}\b")
+    )
+    return (
+        F.when(
+            ~F.contains(payload, F.lit("/"))
+            & ~F.contains(payload, F.lit("�"))
+            & ~F.contains(payload, F.lit("GLYPH<")),
+            F.lit(1.0),
+        )
+        .when(F.contains(payload, F.lit("�")), F.lit(0.0))
+        .when(payload.rlike("GLYPH<[0-9A-Fa-f]+>"), F.lit(0.0))
+        .when(payload.rlike(r"(?U)(?:/G\d+){2,}"), F.lit(0.0))
+        .when(payload.rlike(r"(?U)^(?:/\w+\s*){2,}"), F.lit(0.0))
+        .when(
+            frag >= 3,
+            F.greatest(
+                F.lit(1.0) - F.lit(0.1) * frag.cast("double"), F.lit(0.0)
+            ),
+        )
+        .otherwise(F.lit(1.0))
+    )
+
+
 def q_p1_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(PAYLOAD_QUALITY).alias("payload")
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def _rate(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(rate_text_quality)
-
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(_rate("payload"), 4).alias("quality"),
+        F.round(_quality_col(F.col("payload")), 4).alias("quality"),
     )
 
 
@@ -360,12 +436,11 @@ def q_o6_confidence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "lang", F.expr(PAYLOAD_QUALITY).alias("payload")
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def _rate(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(rate_text_quality)
-
-    scored = docs.select("lang", F.round(_rate("payload"), 4).alias("quality"))
+    # round 8: the scorer is a JVM expression (_quality_col) — the old
+    # pandas UDF shipped every payload across Arrow to run 4 regex probes
+    scored = docs.select(
+        "lang", F.round(_quality_col(F.col("payload")), 4).alias("quality")
+    )
     agg = scored.groupBy("lang").agg(
         F.round(F.avg("quality"), 4).alias("avg_score"),
         F.round(F.expr("percentile(quality, 0.1)"), 4).alias("p10_score"),
@@ -1311,15 +1386,23 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle join lineitem ⋈ orders (both large → sort-merge/shuffled hash
-    under AQE) + month rollup."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    """lineitem ⋈ orders + month rollup.
+
+    Round 8 (guide §2.3/§3): the month string is derived on the ORDERS
+    side before the join, so date_format runs once per order (the build
+    side) instead of once per joined lineitem row (~4× more), and the
+    probe side carries only the three columns the aggregate needs.
+    Grouping keys, join rows and the per-row product are unchanged, so
+    the aggregate (and the oracle hash) is identical."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
-        )
+        .groupBy("order_month")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2

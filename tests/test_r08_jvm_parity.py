@@ -1,0 +1,107 @@
+"""Round-8 optimization parity pins (guide §4: Python boundary removal).
+
+Two query-path rewrites replaced row-at-a-time Python with JVM
+expressions; these tests prove the rewrites are EXACT on the real driver
+tables, not just plausible:
+
+- ``_paragraphs`` (feeds b2_paragraphs / o1_compose_vectors /
+  c2_chunk_assignment / o1_vector_meta_full): JVM
+  split/transform/filter/posexplode vs the reference mapInPandas flush
+  loop (``_paragraphs_py``) — full-row equality including ordering
+  columns.
+- ``_quality_col`` (feeds p1_text_quality / o6_confidence_agg): JVM
+  CASE/rlike/regexp_count vs ``rate_text_quality`` — exact double
+  equality (bitwise: both sides compute 1.0 - 0.1*frag in the same
+  order), across every payload branch of PAYLOAD_QUALITY.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestParagraphsJvmParity:
+    def test_exact_rows_vs_python_flush(self, spark):
+        from doc_parser_spark.plans.driver_queries import (
+            _paragraphs,
+            _paragraphs_py,
+        )
+
+        jvm = _rows(_paragraphs(spark, SF_DIR), ["doc_id", "para_idx", "para"])
+        py = _rows(_paragraphs_py(spark, SF_DIR), ["doc_id", "para_idx", "para"])
+        assert len(jvm) > 500  # non-degenerate corpus
+        assert jvm == py
+
+    def test_no_python_node_in_plan(self, spark):
+        from doc_parser_spark.plans.driver_queries import QUERIES
+
+        for name in ("b2_paragraphs", "o1_compose_vectors"):
+            plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().toString()
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+class TestQualityJvmParity:
+    def test_exact_doubles_vs_python(self, spark):
+        from doc_parser_spark.functions.quality import rate_text_quality
+        from doc_parser_spark.plans.driver_queries import (
+            PAYLOAD_QUALITY,
+            _docs,
+            _quality_col,
+        )
+
+        docs = _docs(spark, SF_DIR).select(
+            "doc_id", F.expr(PAYLOAD_QUALITY).alias("payload")
+        )
+        got = docs.select(
+            "doc_id", _quality_col(F.col("payload")).alias("q"), "payload"
+        ).collect()
+        assert len(got) > 100
+        seen_branches = set()
+        for row in got:
+            expected = rate_text_quality(row.payload or "")
+            assert row.q == expected, (row.doc_id, row.q, expected)
+            seen_branches.add(row.doc_id % 11)
+        # every PAYLOAD_QUALITY branch (incl. all four zero-branches and
+        # the frag-penalty branch) must actually have been exercised
+        assert {0, 1, 2, 3, 4}.issubset(seen_branches)
+
+    def test_adversarial_payloads(self, spark):
+        """Edge payloads the sf tables don't contain: boundary frag counts,
+        unicode words after slashes, fast-path near-misses."""
+        from doc_parser_spark.functions.quality import rate_text_quality
+        from doc_parser_spark.plans.driver_queries import _quality_col
+
+        cases = [
+            "",
+            "plain clean text with no triggers at all",
+            "slash / but nothing else",
+            "A/bc.de/fg.hi only two A/bc.de/fg.hi",  # frag == 2 -> 1.0
+            "x A/bc.de/fg.hi A/bc.de/fg.hi A/bc.de/fg.hi",  # frag == 3
+            " ".join(["A/bc.de/fg.hi"] * 11),  # penalty floors at 0.0
+            "GLYPH<deadBEEF> rest",
+            "GLYPH<> not a match /x",  # GLYPH needs >=1 hex digit
+            "/G1/G2 leading run",
+            "text /G1/G2 in the middle",
+            "/word1 /word2 leading token run",
+            "tail only /word1 /word2",  # match() is anchored -> no zero
+            "bad � char",
+            "/é /û unicode after slash",
+            "/a\t/b tab separated",
+        ]
+        pdf = pd.DataFrame({"payload": cases})
+        df = spark.createDataFrame(pdf)
+        got = df.select("payload", _quality_col(F.col("payload")).alias("q")).collect()
+        for row in got:
+            assert row.q == rate_text_quality(row.payload), row.payload
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
