@@ -1441,24 +1441,17 @@ ORACLES.update(
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.3, a<b) — the embedding
     variant of near-duplicate detection. Brute force is the baseline; at
-    scale the IVF/LSH bucket join replaces the cross join."""
-    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    from doc_parser_spark.operators.similarity import COS_EXPR
+    scale the IVF/LSH bucket join replaces the cross join.
 
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
-    )
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cos", F.round(F.expr(COS_EXPR.format(a="va", b="vb")), 4)
-        )
-        .where(F.col("cos") >= 0.3)
-        .select("a_id", "b_id", "cos")
-    )
+    Round 8: the naive a⋈b cross join evaluated three interpreted
+    64-element folds per pair (77 s at sf0.1); allpairs_cosine_pairs
+    computes the same pair set via block-GEMM candidates + exact fold
+    verify (~3 s), output bit-identical (operator docstring has the
+    margin argument; parity pinned in tests/test_r08_jvm_parity.py)."""
+    from doc_parser_spark.operators.similarity import allpairs_cosine_pairs
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return allpairs_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
 ORACLE_DEDUP_EMBEDDING = """

@@ -103,5 +103,53 @@ class TestQualityJvmParity:
             assert row.q == rate_text_quality(row.payload), row.payload
 
 
+class TestAllpairsCosineParity:
+    """allpairs_cosine_pairs (block-GEMM candidates + exact fold verify)
+    must emit the bit-identical pair set of the naive cross join."""
+
+    def _old(self, emb, threshold=0.3):
+        from doc_parser_spark.operators.similarity import COS_EXPR
+
+        a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", F.round(F.expr(COS_EXPR.format(a="va", b="vb")), 4))
+            .where(F.col("cos") >= threshold)
+            .select("a_id", "b_id", "cos")
+        )
+
+    def test_exact_pairs_vs_cross_join(self, spark):
+        from doc_parser_spark.operators.similarity import allpairs_cosine_pairs
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        # block_size=64 forces many blocks incl. same-block dedup paths
+        new = _rows(
+            allpairs_cosine_pairs(emb, "vec_id", "embedding", 0.3, block_size=64),
+            ["a_id", "b_id", "cos"],
+        )
+        old = _rows(self._old(emb), ["a_id", "b_id", "cos"])
+        assert len(new) > 50
+        assert new == old
+
+    def test_single_block_and_empty(self, spark):
+        from doc_parser_spark.operators.similarity import allpairs_cosine_pairs
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        small = emb.where("vec_id < 20")
+        new = _rows(
+            allpairs_cosine_pairs(small, "vec_id", "embedding", 0.3, block_size=512),
+            ["a_id", "b_id", "cos"],
+        )
+        old = _rows(self._old(small), ["a_id", "b_id", "cos"])
+        assert new == old
+        empty = emb.where("vec_id < 0")
+        assert allpairs_cosine_pairs(empty, "vec_id", "embedding", 0.3).count() == 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
