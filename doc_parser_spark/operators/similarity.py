@@ -21,6 +21,19 @@ COS_EXPR = (
     "sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE))))"
 )
 
+# COS_EXPR with the two norms hoisted out (round 8, guide §2.3: n-per-side
+# work instead of n^2-per-pair). sqrt(fold) is computed ONCE per vector and
+# referenced by name; the quotient dot / (na * nb) is the exact expression
+# COS_EXPR builds, so the doubles are bitwise identical.
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+NORM_EXPR = (
+    "sqrt(aggregate({v}, 0D, (acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE)))"
+)
+COS_PRE_EXPR = DOT_EXPR + " / ({na} * {nb})"
+
 
 def allpairs_cosine_pairs(
     df: DataFrame,
@@ -158,9 +171,49 @@ def topk(
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH (sign-random-projection)
 # ---------------------------------------------------------------------------
-def _plane_sign_expr(vec_col: str, plane: int) -> str:
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Dimensionality probe: one limit-1 job. Returns None on an empty
+    frame (callers then fall back to the per-row size() expression)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
+def _sign_lit_sql(tag: str, dim: int) -> str:
+    """The ±1 sign vector s(tag, ·) as a SQL array LITERAL (round 8).
+
+    The sign matrix is data-independent — md5 of the ASCII string
+    '{tag}_{d}', first hex digit parity — yet the expression form
+    re-derived it per ROW: corpus × planes × dim md5+conv evaluations
+    (2M for 2000 64-d vectors at 16 planes). hashlib.md5 of the same
+    bytes folds it at plan-build time; the resulting ints are the exact
+    values conv(substr(md5(..),1,1),16,10)%2*2-1 produces, so every
+    downstream double product is bitwise unchanged (pinned by
+    tests/test_r08_jvm_parity.py)."""
+    import hashlib
+
+    signs = ", ".join(
+        str(
+            (int(hashlib.md5(f"{tag}_{d}".encode()).hexdigest()[0], 16) % 2)
+            * 2
+            - 1
+        )
+        for d in range(dim)
+    )
+    return f"array({signs})"
+
+
+def _plane_sign_expr(vec_col: str, plane: int, dim: int | None = None) -> str:
     """sign(Σ_d v[d] · s(plane, d)) where s ∈ {-1, +1} comes from one hex
-    digit of md5(plane||'_'||d) — deterministic pseudo-random hyperplane."""
+    digit of md5(plane||'_'||d) — deterministic pseudo-random hyperplane.
+    With ``dim`` the sign vector is a plan-time literal (see
+    ``_sign_lit_sql``); without it the md5 derivation runs per row."""
+    if dim is not None:
+        return (
+            f"CASE WHEN aggregate(zip_with({vec_col}, "
+            f"{_sign_lit_sql(str(plane), dim)}, "
+            f"(x, s) -> cast(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v) > 0 "
+            f"THEN 1 ELSE 0 END"
+        )
     return (
         f"CASE WHEN aggregate(zip_with({vec_col}, "
         f"transform(sequence(0, size({vec_col}) - 1), "
@@ -170,9 +223,9 @@ def _plane_sign_expr(vec_col: str, plane: int) -> str:
     )
 
 
-def lsh_bucket_expr(vec_col: str, planes: int = 8) -> str:
+def lsh_bucket_expr(vec_col: str, planes: int = 8, dim: int | None = None) -> str:
     """Bucket id = concatenated sign bits over `planes` hyperplanes."""
-    bits = ", ".join(_plane_sign_expr(vec_col, p) for p in range(planes))
+    bits = ", ".join(_plane_sign_expr(vec_col, p, dim) for p in range(planes))
     return f"concat_ws('', {bits})"
 
 
@@ -205,10 +258,18 @@ def lsh_neardup_pairs(
     10^9 vectors (bucket sizes are corpus/2^planes on average; raise
     ``planes`` to keep them bounded).
     """
+    # round 8: the vector norm is computed once per row and carried through
+    # the bucket join instead of being re-folded per candidate pair (and
+    # the hyperplane sign matrix is a plan-time literal — see
+    # lsh_bucket_expr); dot/(na*nb) is COS_EXPR's exact expression with
+    # the sqrt folds hoisted, so the emitted cos is bitwise identical.
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.expr(lsh_bucket_expr(vec_col, planes)).alias("bucket"),
+        F.expr(NORM_EXPR.format(v=vec_col)).alias("nrm"),
+        F.expr(
+            lsh_bucket_expr(vec_col, planes, dim=_vec_dim(df, vec_col))
+        ).alias("bucket"),
     )
     return (
         b.alias("a")
@@ -218,7 +279,15 @@ def lsh_neardup_pairs(
             & (F.col("a.id") < F.col("bb.id")),
         )
         .withColumn(
-            "cos", F.round(F.expr(COS_EXPR.format(a="a.v", b="bb.v")), 4)
+            "cos",
+            F.round(
+                F.expr(
+                    COS_PRE_EXPR.format(
+                        a="a.v", b="bb.v", na="a.nrm", nb="bb.nrm"
+                    )
+                ),
+                4,
+            ),
         )
         .where(F.col("cos") >= threshold)
         .select(
@@ -240,8 +309,13 @@ def ann_lsh_topk(
     """ANN: restrict the scan to vectors sharing the query's LSH bucket,
     then exact cosine within the bucket. At scale the bucket column is a
     stored/partitioned column, so a query touches one partition."""
-    bucketed = df.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, planes)))
-    qb = query_df.withColumn("qbucket", F.expr(lsh_bucket_expr("qvec", planes)))
+    dim = _vec_dim(df, vec_col)
+    bucketed = df.withColumn(
+        "bucket", F.expr(lsh_bucket_expr(vec_col, planes, dim=dim))
+    )
+    qb = query_df.withColumn(
+        "qbucket", F.expr(lsh_bucket_expr("qvec", planes, dim=dim))
+    )
     cand = bucketed.join(
         F.broadcast(qb), F.col("bucket") == F.col("qbucket")
     )
@@ -275,27 +349,41 @@ def ivf_assignments(
     smallest centroid_id (ascending fold + strict >), matching the oracle's
     (csim DESC, centroid_id) ordering.
     """
+    # round 8: centroid norms ride the broadcast struct (computed once per
+    # centroid, not once per (vector, centroid) evaluation), the vector's
+    # own norm is a pre-projected column (once per row, not per centroid),
+    # and transform-then-fold evaluates each cosine ONCE — the old CASE
+    # fold evaluated the full 3-fold COS_EXPR twice per centroid probe.
+    # Same ascending centroid order, strict >, -2.0 init → identical
+    # argmax and tie-breaks; dot/(vnorm*cnorm) is COS_EXPR's exact
+    # expression with the sqrt folds hoisted, so the doubles are bitwise
+    # identical (centroid_id stays the struct's first sort key).
     cents = centroids.agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
                     F.col("centroid_id").cast("long").alias("centroid_id"),
                     F.col("cvec"),
+                    F.expr(NORM_EXPR.format(v="cvec")).alias("cnorm"),
                 )
             )
         ).alias("cents")
     )
-    cos = COS_EXPR.format(a=vec_col, b="c.cvec")
+    cos = (
+        DOT_EXPR.format(a=vec_col, b="c.cvec") + " / (_vnorm * c.cnorm)"
+    )
     argmax = (
-        "aggregate(cents, "
+        "aggregate("
+        f"transform(cents, c -> named_struct('cid', c.centroid_id, "
+        f"'sim', round({cos}, 4))), "
         "named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)), "
-        f"(acc, c) -> CASE WHEN round({cos}, 4) > acc.sim "
-        f"THEN named_struct('cid', c.centroid_id, 'sim', round({cos}, 4)) "
-        "ELSE acc END, "
+        "(acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END, "
         "acc -> acc.cid)"
     )
-    return df.crossJoin(F.broadcast(cents)).select(
-        id_col, vec_col, F.expr(argmax).alias("centroid_id")
+    return (
+        df.withColumn("_vnorm", F.expr(NORM_EXPR.format(v=vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, F.expr(argmax).alias("centroid_id"))
     )
 
 
@@ -369,18 +457,29 @@ def ivf_init_farthest(
         )
     )
     seeds = first
+    # round 8: same norm-hoisting as ivf_assignments — seed norms ride the
+    # broadcast struct, the row's norm is computed once; greatest() already
+    # evaluated each cosine once, so only the redundant norm folds go.
     maxsim = (
         "aggregate(cents, CAST(-2.0 AS DOUBLE), (acc, c) -> "
-        f"greatest(acc, round({COS_EXPR.format(a=vec_col, b='c.cvec')}, 4)))"
+        f"greatest(acc, round({DOT_EXPR.format(a=vec_col, b='c.cvec')}"
+        " / (_fnorm * c.cnorm), 4)))"
     )
     for i in range(1, k):
         cents = seeds.agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("centroid_id"), F.col("cvec")))
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id"),
+                        F.col("cvec"),
+                        F.expr(NORM_EXPR.format(v="cvec")).alias("cnorm"),
+                    )
+                )
             ).alias("cents")
         )
         nxt = (
-            df.crossJoin(F.broadcast(cents))
+            df.withColumn("_fnorm", F.expr(NORM_EXPR.format(v=vec_col)))
+            .crossJoin(F.broadcast(cents))
             .select(
                 F.col(id_col).alias("sid"),
                 F.expr(vec_dbl).alias("cvec"),
@@ -440,10 +539,16 @@ def ivf_train_kmeans(
     return cents
 
 
-def _sign_dot_expr(vec_col: str, tag: str) -> str:
+def _sign_dot_expr(vec_col: str, tag: str, dim: int | None = None) -> str:
     """Σ_d v[d] · s(tag, d), s ∈ {-1,+1} from md5(tag||'_'||d) — the same
     deterministic sign construction as the LSH hyperplanes, shared by the
-    JL projection below."""
+    JL projection below. With ``dim`` the sign vector is a plan-time
+    literal (``_sign_lit_sql``) instead of a per-row md5 derivation."""
+    if dim is not None:
+        return (
+            f"aggregate(zip_with({vec_col}, {_sign_lit_sql(tag, dim)}, "
+            f"(x, s) -> cast(x AS DOUBLE) * s), 0D, (acc, v) -> acc + v)"
+        )
     return (
         f"aggregate(zip_with({vec_col}, "
         f"transform(sequence(0, size({vec_col}) - 1), "
@@ -463,10 +568,14 @@ def random_projection(
     the shuffle payload of every downstream vector operator by 64/k.
 
     Row-local (zero shuffle); adds ``proj`` (array<double>, length
-    ``out_dim``).
+    ``out_dim``). Round 8: the sign matrix is folded to plan-time
+    literals (corpus × out_dim × in_dim md5 calls removed — see
+    ``_sign_lit_sql``; assumes a homogeneous vector column, like every
+    fixed-dim embedding table).
     """
+    dim = _vec_dim(df, vec_col)
     comps = ", ".join(
-        f"{_sign_dot_expr(vec_col, f'jl{j}')} / sqrt(cast({out_dim} AS DOUBLE))"
+        f"{_sign_dot_expr(vec_col, f'jl{j}', dim)} / sqrt(cast({out_dim} AS DOUBLE))"
         for j in range(out_dim)
     )
     return df.withColumn("proj", F.expr(f"array({comps})"))

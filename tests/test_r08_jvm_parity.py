@@ -151,5 +151,34 @@ class TestAllpairsCosineParity:
         assert allpairs_cosine_pairs(empty, "vec_id", "embedding", 0.3).count() == 0
 
 
+class TestSignLiteralParity:
+    def test_literal_equals_md5_expression(self, spark):
+        """The plan-time ±1 sign literal must equal the per-row md5
+        derivation for every (tag, d) the LSH/JL paths use."""
+        from doc_parser_spark.operators.similarity import _sign_lit_sql
+
+        for tag in ["0", "5", "jl0", "jl15"]:
+            got = spark.sql(
+                f"SELECT {_sign_lit_sql(tag, 64)} AS lit, "
+                f"transform(sequence(0, 63), d -> "
+                f"(conv(substr(md5(concat('{tag}_', d)), 1, 1), 16, 10) % 2)"
+                f" * 2 - 1) AS expr"
+            ).first()
+            assert [int(v) for v in got.expr] == list(got.lit), tag
+
+    def test_bucket_expr_dim_fast_path_identical(self, spark):
+        from doc_parser_spark.operators.similarity import lsh_bucket_expr
+        from pyspark.sql import functions as F  # noqa: F811
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        both = emb.select(
+            F.expr(lsh_bucket_expr("embedding", 6)).alias("slow"),
+            F.expr(lsh_bucket_expr("embedding", 6, dim=64)).alias("fast"),
+        )
+        assert both.where("slow <> fast").count() == 0
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
