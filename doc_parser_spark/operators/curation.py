@@ -360,10 +360,22 @@ def lang_id_ngram(
     exchange carries (id, |langs| sums). The only other exchange is the
     |langs|-rows-per-doc argmax window on id. Document text never shuffles.
     """
-    grams = df.select(
+    # round 8: materialize the lowercased prefix as a COLUMN before the
+    # trigram transform — inlined via char_trigram_expr, the lambda body
+    # re-evaluated lower(substr(text, 1, prefix)) once PER TRIGRAM
+    # (~prefix times per row; the SimHash/winnow non-CSE shape). One
+    # explode pass dropped from ~1.9 s to ~0.6 s at sf0.1. Same strings,
+    # same trigrams — output unchanged.
+    _pfx = F.lower(F.substring(F.col(text_col), 1, prefix))
+    _tri = F.expr(
+        "CASE WHEN length(_pfx) >= 3 THEN "
+        "transform(sequence(1, length(_pfx) - 2), i -> substr(_pfx, i, 3)) "
+        "ELSE array() END"
+    )
+    grams = df.withColumn("_pfx", _pfx).select(
         F.col(id_col),
         F.col(lang_col).alias("_lang"),
-        F.explode(F.expr(char_trigram_expr(text_col, prefix))).alias("g"),
+        F.explode(_tri).alias("g"),
     )
     per_lang = [
         F.sum(F.when(F.col("_lang") == l, 1).otherwise(0)).alias(f"c_{i}")
@@ -373,13 +385,18 @@ def lang_id_ngram(
     counts_wide = counts_all.orderBy(
         F.expr(" + ".join(f"c_{i}" for i in range(len(langs)))).desc(), "g"
     ).limit(vocab_size)
-    totals = grams.groupBy().agg(
-        F.countDistinct("g").cast("double").alias("v"),
+    # round 8: derive V and the per-language totals from counts_all instead
+    # of re-exploding the corpus — v = countDistinct(g) is exactly the
+    # distinct-gram row count of the (g)-keyed aggregate, and t_i = Σ c_i
+    # (integer sums, so the doubles are identical). The totals subtree now
+    # shares counts_all's tokenize+partial-aggregate exchange with the
+    # vocabulary branch (runtime exchange reuse) instead of running its own
+    # full trigram pass: 3 corpus explodes → 2.
+    totals = counts_all.groupBy().agg(
+        F.count("*").cast("double").alias("v"),
         *[
-            F.sum(F.when(F.col("_lang") == l, 1).otherwise(0))
-            .cast("double")
-            .alias(f"t_{i}")
-            for i, l in enumerate(langs)
+            F.sum(F.col(f"c_{i}")).cast("double").alias(f"t_{i}")
+            for i in range(len(langs))
         ],
     )
     priors = df.groupBy().agg(
@@ -391,8 +408,8 @@ def lang_id_ngram(
             for i, l in enumerate(langs)
         ],
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode(F.expr(char_trigram_expr(text_col, prefix))).alias("g")
+    doc_grams = df.withColumn("_pfx", _pfx).select(
+        F.col(id_col), F.explode(_tri).alias("g")
     )
     lls = doc_grams.join(F.broadcast(counts_wide), "g", "left").crossJoin(
         F.broadcast(totals)
@@ -604,6 +621,10 @@ def lm_bigram_score(
     count aggregate, and the final per-doc mean. All counts are exact
     integers; probabilities divide as doubles identically on any engine.
     """
+    # round 8: (id, pos, tok) feeds the vocab count, the unigram count and
+    # the adjacency window — three full corpus tokenizes without
+    # materialization (same fork-point rule as `big` below; constant-width
+    # rows, released via the output's _toks_cache handle)
     toks = df.select(
         F.col(id_col),
         F.posexplode(
@@ -612,7 +633,7 @@ def lm_bigram_score(
                 "w -> w != '')"
             )
         ).alias("pos", "tok"),
-    )
+    ).persist()
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = (
         counts.orderBy(F.col("c").desc(), "tok")
@@ -657,10 +678,12 @@ def lm_bigram_score(
             ).alias("nll_tok"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_bigrams"),
         F.round(F.avg("nll_tok"), 4).alias("nll"),
     )
+    out._toks_cache = toks  # type: ignore[attr-defined]
+    return out
 
 
 def mine_phrases(

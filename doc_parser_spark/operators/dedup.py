@@ -574,9 +574,17 @@ def duplicated_substring_spans(
     the id, but only for the MARKED positions (id, pos) — duplicated-text
     rows only, payload-light, typically a small fraction of the corpus.
     """
-    w = F.split(F.col(text_col), " ")
+    # round 8, two fixes with unchanged output:
+    # - the word array is a materialized COLUMN: referenced inside the
+    #   k-gram transform lambda, the raw split expression was re-evaluated
+    #   once per GRAM (the winnow non-CSE shape — split cost × tokens);
+    # - grams feeds both the count aggregate and the marked join, so the
+    #   whole k-gram md5 derivation ran twice — persist the constant-width
+    #   (id, pos, md5) fork once, released via _grams_cache.
+    wdf = df.withColumn("_w", F.split(F.col(text_col), " "))
+    w = F.col("_w")
     grams = (
-        df.select(
+        wdf.select(
             F.col(id_col),
             F.posexplode(
                 F.when(
@@ -588,7 +596,7 @@ def duplicated_substring_spans(
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("pos", "g"),
         )
-    )
+    ).persist()
     dup = (
         grams.groupBy("g")
         .count()
@@ -607,7 +615,7 @@ def duplicated_substring_spans(
             1,
         ).otherwise(0),
     ).withColumn("gid", F.sum("brk").over(win))
-    return (
+    out = (
         islands.groupBy(id_col, "gid")
         .agg(
             F.min("pos").cast("int").alias("span_start"),
@@ -620,6 +628,8 @@ def duplicated_substring_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+    out._grams_cache = grams  # type: ignore[attr-defined]
+    return out
 
 
 def duplicated_token_fraction(
@@ -639,7 +649,7 @@ def duplicated_token_fraction(
     agg = spans.groupBy(id_col).agg(
         F.sum("span_tokens").alias("dup_tokens")
     )
-    return totals.join(agg, id_col, "left").select(
+    out = totals.join(agg, id_col, "left").select(
         id_col,
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("int").alias("dup_tokens"),
@@ -649,6 +659,8 @@ def duplicated_token_fraction(
             4,
         ).alias("dup_fraction"),
     )
+    out._grams_cache = getattr(spans, "_grams_cache", None)  # type: ignore[attr-defined]
+    return out
 
 
 def dedup_incremental(
@@ -890,7 +902,16 @@ def simhash_hamming_pairs(
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
     w = bits // chunks
-    fp = simhash(df, id_col, text_col, bits).withColumnRenamed(id_col, "id")
+    # round 8: the fingerprint table feeds BOTH sides of the pigeonhole
+    # self-join, so without materialization the full text tokenize +
+    # fingerprint fold runs twice (the lsh_candidate_pairs fork-point rule;
+    # constant-width (id, simhash) rows, no text). Exposed for release via
+    # the output's _simhash_fp_cache handle.
+    fp = (
+        simhash(df, id_col, text_col, bits)
+        .withColumnRenamed(id_col, "id")
+        .persist()
+    )
     blocks = fp.select(
         "id",
         "simhash",
@@ -923,10 +944,12 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cands.withColumn(
             "hamming", F.bit_count(F.expr("fa ^ fb")).cast("int")
         )
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+    out._simhash_fp_cache = fp  # type: ignore[attr-defined]
+    return out

@@ -25,11 +25,16 @@ TOKENIZE = "filter(split(lower({col}), '[^a-z0-9]+'), w -> w != '')"
 
 
 def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf, dl): term frequency per doc + doc length."""
-    toks = df.select(
+    """(id, term, tf, dl): term frequency per doc + doc length.
+
+    Round 8: the token array is materialized as a column so the
+    split+filter tokenize runs ONCE per row — referenced twice (size +
+    explode) it was evaluated twice (the winnow non-CSE shape)."""
+    ws = df.withColumn("_ws", F.expr(TOKENIZE.format(col=text_col)))
+    toks = ws.select(
         F.col(id_col),
-        F.size(F.expr(TOKENIZE.format(col=text_col))).alias("dl"),
-        F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("term"),
+        F.size(F.col("_ws")).alias("dl"),
+        F.explode(F.col("_ws")).alias("term"),
     )
     return toks.groupBy(id_col, "term", "dl").agg(
         F.count("*").alias("tf")
