@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from doc_parser_spark.operators.dedup import shingle_expr
+from doc_parser_spark.operators.dedup import shingle_expr_from_words
 
 DEFAULT_DECONTAM_N = 5
 DEFAULT_PACK_BUDGET = 2048
@@ -67,13 +67,18 @@ def decontaminate_ngrams(
     exploded map-side (explode_outer keeps short documents), probed against
     the broadcast, and reduced by id. Only (id, hit) rows shuffle.
     """
-    doc_grams = corpus.select(
+    # round 8: split once per row (shingle_expr_from_words) — the inlined
+    # form re-ran split(text) inside the transform lambda per shingle
+    doc_grams = corpus.withColumn(
+        "_w", F.split(F.col(text_col), " ")
+    ).select(
         F.col(id_col),
-        F.explode_outer(F.expr(shingle_expr(text_col, n))).alias("ngram"),
+        F.explode_outer(F.expr(shingle_expr_from_words("_w", n))).alias("ngram"),
     )
     bench_grams = (
-        benchmark.select(
-            F.explode(F.expr(shingle_expr(text_col, n))).alias("ngram")
+        benchmark.withColumn("_w", F.split(F.col(text_col), " "))
+        .select(
+            F.explode(F.expr(shingle_expr_from_words("_w", n))).alias("ngram")
         )
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -119,16 +119,49 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.withColumn("keep", F.col(id_col) == keeper)
 
 
+def shingle_expr_from_words(words_col: str, n: int = DEFAULT_SHINGLE) -> str:
+    """``shingle_expr`` over a pre-split word-array column (round 8):
+    inlined, the transform lambda re-ran split(text) once per SHINGLE
+    (split cost × tokens per row — the winnow non-CSE shape); callers
+    materialize the split once and shingle from it."""
+    return (
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str, n: int = DEFAULT_SHINGLE
 ) -> DataFrame:
-    return df.withColumn("shingles", F.expr(shingle_expr(text_col, n)))
+    return (
+        df.withColumn("_w", F.split(F.col(text_col), " "))
+        .withColumn("shingles", F.expr(shingle_expr_from_words("_w", n)))
+        .drop("_w")
+    )
 
 
 def jaccard_expr(a: str = "a.shingles", b: str = "b.shingles") -> str:
     return (
         f"size(array_intersect({a}, {b})) / "
         f"(size({a}) + size({b}) - size(array_intersect({a}, {b})))"
+    )
+
+
+def _jaccard_col(df: DataFrame, a: str, b: str, out: str) -> DataFrame:
+    """``jaccard_expr`` with the intersection size materialized once
+    (round 8): inlined, size(array_intersect(a, b)) — the expensive half
+    — was evaluated twice per candidate pair. Same operands, same
+    left-to-right double division → identical values."""
+    return (
+        df.withColumn("_ji", F.expr(f"size(array_intersect({a}, {b}))"))
+        .withColumn(
+            out,
+            F.col("_ji")
+            / (F.expr(f"size({a}) + size({b})") - F.col("_ji")),
+        )
+        .drop("_ji")
     )
 
 
@@ -148,8 +181,12 @@ def ngram_jaccard_pairs(
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("jaccard", F.expr(jaccard_expr()))
+        _jaccard_col(
+            a.join(b, F.col("a.id") < F.col("b.id")),
+            "a.shingles",
+            "b.shingles",
+            "jaccard",
+        )
         .where(F.col("jaccard") >= threshold)
         .select(
             F.col("a.id").alias("a_id"),
@@ -295,9 +332,13 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("id"), "shingles"
     )
     out = (
-        cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.id"))
-        .join(sh.alias("sb"), F.col("b_id") == F.col("sb.id"))
-        .withColumn("jaccard", F.expr(jaccard_expr("sa.shingles", "sb.shingles")))
+        _jaccard_col(
+            cands.join(sh.alias("sa"), F.col("a_id") == F.col("sa.id"))
+            .join(sh.alias("sb"), F.col("b_id") == F.col("sb.id")),
+            "sa.shingles",
+            "sb.shingles",
+            "jaccard",
+        )
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -714,9 +755,12 @@ def dedup_incremental(
         F.col(id_col).alias("old_id"), F.col("shingles").alias("sh_o")
     )
     near = (
-        cand.join(shn, "new_id")
-        .join(sho, "old_id")
-        .withColumn("j", F.expr(jaccard_expr("sh_n", "sh_o")))
+        _jaccard_col(
+            cand.join(shn, "new_id").join(sho, "old_id"),
+            "sh_n",
+            "sh_o",
+            "j",
+        )
         .where(F.col("j") >= threshold)
         .groupBy("new_id")
         .agg(F.min("old_id").alias("near_old_id"))
@@ -846,9 +890,12 @@ def dedup_incremental_indexed(
         F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
     )
     near = (
-        cand.join(shn, "new_id")
-        .join(sho, "old_id")
-        .withColumn("j", F.expr(jaccard_expr("sh_n", "sh_o")))
+        _jaccard_col(
+            cand.join(shn, "new_id").join(sho, "old_id"),
+            "sh_n",
+            "sh_o",
+            "j",
+        )
         .where(F.col("j") >= threshold)
         .groupBy("new_id")
         .agg(F.min("old_id").alias("near_old_id"))

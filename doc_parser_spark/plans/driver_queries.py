@@ -988,14 +988,21 @@ FROM documents
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc_parser_spark.operators.dedup import shingle_expr
+    from doc_parser_spark.operators.dedup import shingle_expr_from_words
 
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5("text").alias("content_md5"),
-        F.expr(
-            f"array_min(transform({shingle_expr('text', 3)}, x -> md5(x)))"
-        ).alias("min_shingle_md5"),
+    # round 8: split materialized once per row (the inlined shingle_expr
+    # re-split the text per shingle inside its transform lambda)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_w", F.split(F.col("text"), " "))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5("text").alias("content_md5"),
+            F.expr(
+                "array_min(transform("
+                f"{shingle_expr_from_words('_w', 3)}, x -> md5(x)))"
+            ).alias("min_shingle_md5"),
+        )
     )
 
 
