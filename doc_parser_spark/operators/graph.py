@@ -43,6 +43,10 @@ def _oriented_wedges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     is the whole point (a hub's wedges must be bounded by its OUT-degree,
     which degree-ordering drives to ~0 on a star).
     """
+    # fork point (round-8 rule): ``e`` feeds the degree aggregate AND the
+    # two orientation joins, and the caller's edge frame is typically an
+    # LSH candidate-pair pipeline whose tail (the exact-Jaccard verify)
+    # re-runs per branch without this persist. Constant-width (2 longs).
     e = (
         edges.select(
             F.least("a_id", "b_id").alias("u"),
@@ -50,6 +54,7 @@ def _oriented_wedges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .where(F.col("u") < F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("x"))
@@ -61,11 +66,18 @@ def _oriented_wedges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
     )
     fwd = F.struct("du", "u") < F.struct("dv", "v")
+    # fork point (round-8 rule): ``oriented`` feeds THREE plan branches
+    # (both wedge sides + the closing-edge probe), and unlike the old id
+    # orientation its lineage now embeds the degree aggregate + two joins
+    # — without the persist each branch re-runs all of it. Constant-width
+    # (3 longs), evictable, recomputed from the edge frame if dropped;
+    # released via the ``_oriented_cache`` handle on the result.
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dy"),
-    )
+    ).persist()
+    oriented._edges_cache = e  # type: ignore[attr-defined]
     wedges = (
         oriented.alias("e1")
         .join(
@@ -99,7 +111,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         oriented.alias("e3"),
         (F.col("y1") == F.col("e3.x")) & (F.col("y2") == F.col("e3.y")),
     )
-    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    out = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    out._oriented_cache = oriented  # type: ignore[attr-defined]
+    out._edges_cache = getattr(oriented, "_edges_cache", None)  # type: ignore[attr-defined]
+    return out
 
 
 def pagerank(
