@@ -149,11 +149,34 @@ def jaccard_expr(a: str = "a.shingles", b: str = "b.shingles") -> str:
     )
 
 
-def _jaccard_col(df: DataFrame, a: str, b: str, out: str) -> DataFrame:
+def _jaccard_col(
+    df: DataFrame,
+    a: str,
+    b: str,
+    out: str,
+    threshold: float | None = None,
+) -> DataFrame:
     """``jaccard_expr`` with the intersection size materialized once
     (round 8): inlined, size(array_intersect(a, b)) — the expensive half
     — was evaluated twice per candidate pair. Same operands, same
-    left-to-right double division → identical values."""
+    left-to-right double division → identical values.
+
+    ``threshold`` (round 8): when the caller will keep only
+    ``out >= threshold`` rows, a size-ratio prefilter drops candidates
+    BEFORE the array_intersect. Exact, not approximate: the shingle
+    arrays are sets (array_distinct), so J = |A∩B|/|A∪B| ≤
+    min(|A|,|B|)/max(|A|,|B|) as exact rationals, and because IEEE
+    round-to-nearest division is monotone, ratio_double ≥ J_double too —
+    every dropped pair would have failed the caller's own double
+    comparison. Empty-vs-empty gives 0/0 = NaN on both sides (dropped
+    both ways); the candidate generators exclude shingle-less rows
+    anyway."""
+    if threshold is not None:
+        df = df.where(
+            F.expr(f"least(size({a}), size({b}))")
+            / F.expr(f"greatest(size({a}), size({b}))")
+            >= F.lit(float(threshold))
+        )
     return (
         df.withColumn("_ji", F.expr(f"size(array_intersect({a}, {b}))"))
         .withColumn(
@@ -186,6 +209,7 @@ def ngram_jaccard_pairs(
             "a.shingles",
             "b.shingles",
             "jaccard",
+            threshold=threshold,
         )
         .where(F.col("jaccard") >= threshold)
         .select(
@@ -338,6 +362,7 @@ def lsh_candidate_pairs(
             "sa.shingles",
             "sb.shingles",
             "jaccard",
+            threshold=threshold,
         )
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
@@ -760,6 +785,7 @@ def dedup_incremental(
             "sh_n",
             "sh_o",
             "j",
+            threshold=threshold,
         )
         .where(F.col("j") >= threshold)
         .groupBy("new_id")
@@ -873,10 +899,23 @@ def dedup_incremental_indexed(
     bn = lsh_buckets(new_df, id_col, text_col, k, bands, n).withColumnRenamed(
         "id", "new_id"
     )
+    # round 8, guide §2.3/§8 "decide with small rows, move big rows once":
+    # r=1 banding on vocabulary-sharing corpora makes the candidate set
+    # huge (measured 4.1M pairs for an 8.6k batch vs a 167k index) and
+    # the verify join used to attach BOTH shingle arrays (~1.6 kB/pair)
+    # to every candidate. The exact size bound J ≤ min(|A|,|B|) /
+    # max(|A|,|B|) (proof at _jaccard_col) is decided on 8-byte size
+    # columns riding the bucket tables, BEFORE the pair distinct, so the
+    # distinct shuffles only surviving pairs and the arrays are joined
+    # only to them (measured 57% killed). Sizes are cheap on this path
+    # because the old side's arrays are STORED; the text-path
+    # dedup_incremental keeps the in-place prefilter instead, because
+    # deriving old-side sizes there would cost a second corpus tokenize.
     bo = index.where(F.col("buckets").isNotNull()).selectExpr(
-        "id AS old_id", "posexplode(buckets) AS (band, bucket)"
+        "id AS old_id",
+        "size(shingles) AS _so",
+        "posexplode(buckets) AS (band, bucket)",
     )
-    cand = bn.join(bo, ["band", "bucket"]).select("new_id", "old_id").distinct()
     shn = with_shingles(new_df.select(id_col, text_col), text_col, n)
     if hashed:
         # the new side hashes its shingles the same way the index did
@@ -888,6 +927,17 @@ def dedup_incremental_indexed(
     )
     sho = index.select(
         F.col("id").alias("old_id"), F.col("shingles").alias("sh_o")
+    )
+    szn = shn.select("new_id", F.size("sh_n").alias("_sn"))
+    cand = (
+        bn.join(szn, "new_id")
+        .join(bo, ["band", "bucket"])
+        .where(
+            F.least("_sn", "_so") / F.greatest("_sn", "_so")
+            >= F.lit(float(threshold))
+        )
+        .select("new_id", "old_id")
+        .distinct()
     )
     near = (
         _jaccard_col(

@@ -182,3 +182,113 @@ class TestSignLiteralParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestJaccardSizePrefilterParity:
+    """The size-ratio prefilter in _jaccard_col must drop ONLY pairs the
+    caller's own ``jaccard >= threshold`` filter would drop: J ≤
+    min/max size as exact rationals, and IEEE round-to-nearest division
+    is monotone, so ratio_double ≥ J_double for every pair."""
+
+    def _corpus(self, spark, n_docs=80):
+        # md5-derived words (never modular — degenerate-corpus rule),
+        # strongly varied lengths so the ratio filter is ACTIVE, plus
+        # planted near-dup families so pairs survive
+        import hashlib
+
+        rows = []
+        for i in range(n_docs):
+            ln = 4 + (i * 7) % 37
+            words = [
+                hashlib.md5(f"{i % 9}|{j}".encode()).hexdigest()[:6]
+                for j in range(ln)
+            ]
+            rows.append((i, " ".join(words)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_lsh_pairs_identical_with_and_without_prefilter(self, spark):
+        from doc_parser_spark.operators.dedup import (
+            _jaccard_col,
+            lsh_candidate_pairs,
+            with_shingles,
+        )
+
+        df = self._corpus(spark)
+        got = sorted(
+            tuple(r)
+            for r in lsh_candidate_pairs(
+                df, "doc_id", "text", threshold=0.5, k=8, bands=8
+            ).collect()
+        )
+        # reference: same candidate generation, verify WITHOUT prefilter
+        sh = with_shingles(df.select("doc_id", "text"), "text", 3).select(
+            F.col("doc_id").alias("id"), "shingles"
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        ref = sorted(
+            tuple(r)
+            for r in _jaccard_col(
+                a.join(b, F.col("a.id") < F.col("b.id")),
+                "a.shingles",
+                "b.shingles",
+                "jaccard",
+            )
+            .where(F.col("jaccard") >= 0.5)
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+            .collect()
+        )
+        assert len(got) > 3  # families actually produce pairs
+        # LSH recall < 1, so got ⊆ ref; every surviving pair identical
+        assert set(got) <= set(ref)
+        # the prefilter itself: rerun the verify WITH threshold on the
+        # SAME joined frame — rows must be identical to the unfiltered
+        with_pf = sorted(
+            tuple(r)
+            for r in _jaccard_col(
+                a.join(b, F.col("a.id") < F.col("b.id")),
+                "a.shingles",
+                "b.shingles",
+                "jaccard",
+                threshold=0.5,
+            )
+            .where(F.col("jaccard") >= 0.5)
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+            .collect()
+        )
+        assert with_pf == ref
+
+    def test_boundary_j_exactly_on_threshold_double(self, spark):
+        # |A|=7, |B|=10, |A∩B|=7 → J = 7/10, which rounds to EXACTLY the
+        # double 0.7 — the worst case for a float prefilter. ratio is
+        # also 7/10; both sides must keep the pair.
+        from doc_parser_spark.operators.dedup import _jaccard_col
+
+        a = [f"w{i}" for i in range(7)]
+        b = a + [f"x{i}" for i in range(3)]
+        df = spark.createDataFrame(
+            [(a, b)], "sa array<string>, sb array<string>"
+        )
+        out = (
+            _jaccard_col(df, "sa", "sb", "j", threshold=0.7)
+            .where(F.col("j") >= 0.7)
+            .collect()
+        )
+        assert len(out) == 1 and abs(out[0]["j"] - 0.7) < 1e-15
+        # and a pair strictly below: |A∩B|=6 of 7 vs 10 → J=6/11 < 0.7
+        df2 = spark.createDataFrame(
+            [(a[:6] + ["y0"], b)], "sa array<string>, sb array<string>"
+        )
+        out2 = (
+            _jaccard_col(df2, "sa", "sb", "j", threshold=0.7)
+            .where(F.col("j") >= 0.7)
+            .collect()
+        )
+        assert out2 == []
