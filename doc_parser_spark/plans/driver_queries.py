@@ -2993,9 +2993,12 @@ def q_curate_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = decontaminate_ngrams(
         docs, docs.where("doc_id % 41 = 0"), "doc_id", "payload", n=5
     ).select("doc_id", "contaminated")
+    # fork point (round 8, _CHAIN_CACHE_NOTE rule): flags feeds the
+    # pack branch AND the final join; lineage = dedup window +
+    # decontamination + sampling, re-derived per branch without this
     flags = stratified_sample(
         deduped.join(dec, "doc_id"), "doc_id", "lang", SAMPLE_RATES
-    )
+    ).cache()
     surv = flags.where("gate_pass AND keep AND NOT contaminated AND sampled")
     packed = pack_sequences(
         surv.select("doc_id", "payload"),
@@ -3517,11 +3520,16 @@ def q_curate_assemble_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, corpus.where("doc_id % 37 = 0"), "doc_id", "payload", n=5
     ).select("doc_id", "contaminated")
     lm = lm_quality_score(corpus, "doc_id", "payload", vocab_size=256)
+    # fork point (round 8, _CHAIN_CACHE_NOTE rule): flags feeds the
+    # pack branch AND the final join; canon/dec/lm would re-run per
+    # branch without this (CC itself is already materialized — the
+    # driver solve returns local data — but the canonical/decontam/LM
+    # joins are not)
     flags = (
         canon.join(dec, "doc_id")
         .join(lm.select("doc_id", "nll"), "doc_id")
         .withColumn("lm_pass", F.col("nll") <= F.lit(_LM_NLL_MAX))
-    )
+    ).cache()
     surv = flags.where("keep AND NOT contaminated AND lm_pass")
     packed = pack_sequences(
         surv.join(corpus, "doc_id").select("doc_id", "payload"),
@@ -5170,9 +5178,12 @@ def q_curate_assemble_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = temperature_mixture_sample(
         kept, "doc_id", "lang", tau=_MIX_TAU
     ).where(F.col("sampled"))
+    # fork point (round 8, same rule as _CHAIN_CACHE_NOTE): train feeds
+    # pack_segments AND the lang join-back, and its lineage is the whole
+    # k-gram dup-fraction pipeline — measured ~0.7 s re-derived per branch
     train = train_val_test_split(mixed, "doc_id").where(
         F.col("split") == "train"
-    )
+    ).cache()
     packed = pack_segments(
         train, "doc_id", "text", budget=PACK_BUDGET, n_shards=PACK_SHARDS
     )
