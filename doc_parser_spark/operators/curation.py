@@ -288,7 +288,8 @@ def tfidf_top_terms(
     # the corpus tokenize + partial-aggregate pass TWICE (measured: zero
     # ReusedExchange). With it, the doc_tok exchange is built once and
     # ReusedExchange feeds the docfreq rollup (round 8; plan evidence in
-    # plans/r08/text_tfidf_topk_after.txt).
+    # plans/r08/text_tfidf_topk_after_executed.txt — the reuse is an AQE
+    # stage-level decision, visible only in the executed plan).
     docfreq = doc_tok.groupBy("term").agg(
         F.count(F.when(F.col("tf") > 0, 1)).cast("double").alias("df_count")
     )
