@@ -135,10 +135,14 @@ def shingle_expr_from_words(words_col: str, n: int = DEFAULT_SHINGLE) -> str:
 def with_shingles(
     df: DataFrame, text_col: str, n: int = DEFAULT_SHINGLE
 ) -> DataFrame:
+    # the temp word-array column is named to not collide with (and
+    # silently drop) a caller column — "_w" was a public-helper hazard
     return (
-        df.withColumn("_w", F.split(F.col(text_col), " "))
-        .withColumn("shingles", F.expr(shingle_expr_from_words("_w", n)))
-        .drop("_w")
+        df.withColumn("_shingle_w_tmp", F.split(F.col(text_col), " "))
+        .withColumn(
+            "shingles", F.expr(shingle_expr_from_words("_shingle_w_tmp", n))
+        )
+        .drop("_shingle_w_tmp")
     )
 
 
@@ -168,9 +172,14 @@ def _jaccard_col(
     min(|A|,|B|)/max(|A|,|B|) as exact rationals, and because IEEE
     round-to-nearest division is monotone, ratio_double ≥ J_double too —
     every dropped pair would have failed the caller's own double
-    comparison. Empty-vs-empty gives 0/0 = NaN on both sides (dropped
-    both ways); the candidate generators exclude shingle-less rows
-    anyway."""
+    comparison. Empty-vs-empty pairs give 0/0 = NaN on BOTH the ratio
+    and the jaccard, and Spark orders NaN above every double, so such
+    pairs pass the prefilter AND the caller's threshold filter exactly
+    as they did before the prefilter existed — identity holds there
+    too (relevant only to ngram_jaccard_pairs; the LSH/incremental
+    candidate generators exclude shingle-less rows). One-empty pairs:
+    ratio 0/x = 0 prefilter-drops them, and their jaccard 0/x = 0
+    would fail the threshold anyway."""
     if threshold is not None:
         df = df.where(
             F.expr(f"least(size({a}), size({b}))")
@@ -487,9 +496,21 @@ def connected_components(
     ).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    from pyspark.sql import types as T
+
     edges0 = sym.distinct().persist()
     n_edges = edges0.count()
-    if n_edges <= _CC_DRIVER_MAX_EDGES:
+    # the ≈16 MB/1M-row rationale assumes numeric ids; string-keyed
+    # graphs (curate uids) cost ~10× per row in pandas object columns,
+    # so the driver-solve gate shrinks accordingly (round-8 review)
+    driver_max = (
+        _CC_DRIVER_MAX_EDGES
+        if isinstance(
+            edges0.schema["src"].dataType, (T.LongType, T.IntegerType)
+        )
+        else _CC_DRIVER_MAX_EDGES // 8
+    )
+    if n_edges <= driver_max:
         try:
             return _cc_driver(edges0, max_iterations)
         finally:

@@ -147,6 +147,11 @@ def pagerank(
         # cross-joined into every round's plan (1.0 / n is the same IEEE
         # double either way)
         n = nodes.count()
+        if n == 0:
+            # empty graph: the pre-round-8 per-row division never
+            # evaluated on an empty frame; keep that contract instead of
+            # raising ZeroDivisionError at plan-build time
+            return nodes.select("id", F.lit(0.0).alias("rank"))
         deg = sym.groupBy("src").agg(F.count("*").alias("deg")).persist()
         cached.append(deg)
         ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))

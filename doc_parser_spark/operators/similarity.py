@@ -62,6 +62,18 @@ def allpairs_cosine_pairs(
        left-fold ``COS_EXPR`` + ``round`` decides membership, so the
        emitted cos is the exact value the cross join would produce.
 
+    Zero-norm edge (round-8 review): a pair involving an all-zero
+    vector has cos = 0/0 = NaN. The naive Spark cross join EMITS such
+    pairs (Spark orders NaN above every double, so ``NaN >= t`` holds),
+    while numpy's ``NaN >= cut`` is False — this path excludes them at
+    the candidate stage. Excluding undefined-cosine pairs is the
+    mathematically sane behavior and matches the DuckDB oracle (there
+    0.0/0.0 is NULL and ``NULL >= t`` filters out — verified), so the
+    old cross join was the side that would have diverged from the
+    oracle on a zero vector; the bit-identical-to-cross-join claim is
+    scoped to corpora without zero vectors, which the embeddings
+    tables satisfy by construction.
+
     The cross-join shape evaluated three 64-element folds per pair in
     interpreted Catalyst higher-order functions (zip_with allocation +
     per-pair norm recomputation — n^2 work for norms that are n); here
@@ -172,9 +184,21 @@ def topk(
 # random-hyperplane LSH (sign-random-projection)
 # ---------------------------------------------------------------------------
 def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Dimensionality probe: one limit-1 job. Returns None on an empty
-    frame (callers then fall back to the per-row size() expression)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Dimensionality probe: one limit-1 job over non-null vectors.
+    Returns None on an empty (or all-null-vector) frame — callers then
+    fall back to the per-row size() expression.
+
+    Contract note (round 8): the sign-literal fold assumes a FIXED
+    vector dimension, like every consumer of these embeddings; rows of
+    a different length than the probed one would zip_with-pad with
+    nulls and yield null projections, same as they would corrupt
+    cosine folds. Null vectors are skipped by the probe and produce
+    null buckets/projections downstream, as before the fold."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return None if row is None else int(row["d"])
 
 

@@ -125,3 +125,22 @@ class TestPagerank:
         exp = self._reference(pairs, iters=20)
         for k in exp:
             assert got[k] == pytest.approx(exp[k], abs=1e-8)
+
+
+class TestEmptyGraphs:
+    """Round-8 review: the driver-scalar n in pagerank must not divide
+    by zero on an empty edge frame (the pre-round-8 per-row division
+    never evaluated there)."""
+
+    def test_pagerank_empty_edges(self, spark):
+        from doc_parser_spark.operators.graph import pagerank
+
+        empty = spark.createDataFrame([], "a_id long, b_id long")
+        assert pagerank(empty).collect() == []
+
+    def test_triangles_empty_edges(self, spark):
+        from doc_parser_spark.operators.graph import triangle_count
+
+        empty = spark.createDataFrame([], "a_id long, b_id long")
+        rows = triangle_count(empty).collect()
+        assert len(rows) == 1 and rows[0]["n_triangles"] == 0

@@ -38,8 +38,19 @@ def _dump(el, out):
 
 def _assert_same(markup: str):
     a, b = [], []
+    # our side must parse EVERY input without crashing — run it first
     _dump(htmldom.parse_html(markup), a)
-    _dump(htmldom.parse_html_stdlib(markup), b)
+    try:
+        stdlib_dom = htmldom.parse_html_stdlib(markup)
+    except AssertionError:
+        # CPython quirk: html.parser's _markupbase raises a bare
+        # AssertionError ("unknown status keyword") on malformed marked
+        # sections like '<![a;'. The COMPARATOR is out of domain there,
+        # not our tokenizer (which treats such input as bogus markup
+        # without crashing, verified above) — the equivalence claim is
+        # scoped to inputs the stdlib reference can itself parse.
+        return
+    _dump(stdlib_dom, b)
     assert a == b, f"DOM divergence on {markup[:200]!r}"
 
 

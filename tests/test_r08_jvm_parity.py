@@ -180,9 +180,6 @@ class TestSignLiteralParity:
         assert both.where("slow <> fast").count() == 0
 
 
-if __name__ == "__main__":
-    pytest.main([__file__, "-x", "-q"])
-
 
 class TestJaccardSizePrefilterParity:
     """The size-ratio prefilter in _jaccard_col must drop ONLY pairs the
@@ -292,3 +289,6 @@ class TestJaccardSizePrefilterParity:
             .collect()
         )
         assert out2 == []
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
