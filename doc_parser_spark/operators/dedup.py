@@ -40,24 +40,29 @@ _CC_EDGES_PER_PARTITION = 4_000_000
 _CC_DRIVER_MAX_EDGES = 1_000_000
 
 
-def _cc_driver(edges0: DataFrame, max_iterations: int) -> DataFrame:
-    """Driver-side connected components over a SMALL symmetric distinct edge
-    table (bounded by ``_CC_DRIVER_MAX_EDGES`` — the caller has already
-    counted it). Vectorized mirror of the distributed loop — identical
-    round structure (seed = min(self, min neighbour); per round: one
-    neighbour-min propagation + one pointer jump; stop when a round changes
-    nothing; same round cap), so convergence semantics and output are
-    bit-identical to the distributed path, just without per-round job
-    overhead."""
+def _cc_driver(pairs1d: DataFrame, max_iterations: int) -> DataFrame:
+    """Driver-side connected components over a SMALL one-directional pair
+    table ``(src, dst)`` (bounded by ``_CC_DRIVER_MAX_EDGES`` — the caller
+    has already counted it). The symmetrize/union step runs here in numpy
+    instead of as a Spark shuffle, and duplicate pairs need no ``distinct``:
+    min-label propagation is idempotent over repeated edges (``min`` over a
+    multiset equals ``min`` over its set), so every round's label array —
+    and therefore the output and the round count — is identical to running
+    on the deduplicated symmetric edge set. Vectorized mirror of the
+    distributed loop — identical round structure (seed = min(self, min
+    neighbour); per round: one neighbour-min propagation + one pointer
+    jump; stop when a round changes nothing; same round cap), so
+    convergence semantics and output are bit-identical to the distributed
+    path, just without per-round job overhead."""
     import numpy as np
     from pyspark.sql import types as T
 
-    spark = edges0.sparkSession
-    dtype = edges0.schema["src"].dataType
+    spark = pairs1d.sparkSession
+    dtype = pairs1d.schema["src"].dataType
     out_schema = T.StructType(
         [T.StructField("id", dtype), T.StructField("cluster_id", dtype)]
     )
-    pdf = edges0.toPandas()
+    pdf = pairs1d.toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame([], out_schema)
     vals = np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()])
@@ -66,7 +71,11 @@ def _cc_driver(edges0: DataFrame, max_iterations: int) -> DataFrame:
     # min-code ⇔ min-id
     uniq, inv = np.unique(vals, return_inverse=True)
     m = len(pdf)
-    src, dst = inv[:m], inv[m:]
+    ia, ib = inv[:m], inv[m:]
+    # symmetrize in numpy — the multiset twin of the distributed path's
+    # union-both-directions (+ distinct, which min-propagation doesn't need)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
     labels = np.arange(len(uniq), dtype=np.int64)
     # seed: min(self, min neighbour) — labels[src] == src at this point
     np.minimum.at(labels, dst, src)
@@ -469,7 +478,9 @@ def connected_components(
     a 200-edge graph at 64 pinned shuffle partitions, 0.63 s at 1):
 
     - the edge table's partition count derives from its MEASURED row count
-      (one cached-read ``count`` after the distinct materializes), not from
+      (the one ``count`` over the raw pair table that also gates the
+      driver solve; 2·raw bounds the distinct symmetric count from above,
+      exactly for the distinct pairs every LSH generator emits), not from
       ``spark.sql.shuffle.partitions``: a session constant is tuned to one
       scale — on a small graph every one of ~5 per-round stages schedules
       64 near-empty tasks, and on a 10^10-edge graph 64 partitions would
@@ -481,42 +492,55 @@ def connected_components(
       for free (no join, no jump needed for it);
     - the per-round checkpoint is LAZY and the convergence ``count``
       materializes it, so each round runs ONE Spark job instead of two;
-    - a graph whose measured symmetric edge count is at most
-      ``_CC_DRIVER_MAX_EDGES`` (≈16 MB of constant-width rows — broadcast-
-      side order of magnitude) skips the distributed rounds entirely:
-      ``_cc_driver`` runs the SAME algorithm vectorized on the driver.
-      Spark's own planner makes the analogous call when it broadcasts a
-      small join side; five distributed barriers for a one-task graph is
-      pure overhead at any cluster size.
+    - a graph whose raw pair count says the symmetric edge set is at most
+      ``_CC_DRIVER_MAX_EDGES`` rows (≈16 MB of constant-width rows —
+      broadcast-side order of magnitude) skips the distributed rounds AND
+      the symmetrize/distinct shuffle entirely: ``_cc_driver`` collects
+      the one-directional pairs (half the bytes) and runs the SAME
+      algorithm vectorized on the driver, symmetrizing in numpy
+      (duplicate pairs are exactly harmless — min-propagation is
+      idempotent). Spark's own planner makes the analogous call when it
+      broadcasts a small join side; five distributed barriers for a
+      one-task graph is pure overhead at any cluster size.
     """
     import math
 
-    sym = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
     from pyspark.sql import types as T
 
-    edges0 = sym.distinct().persist()
-    n_edges = edges0.count()
+    # Decide the path on the RAW pair count — one job, no symmetrize/
+    # distinct shuffle spent on the decision. 2·raw ≥ the distinct
+    # symmetric edge count, so the gate is conservative: every graph it
+    # sends to the driver would also have passed the old distinct-count
+    # gate, and the driver collects the one-directional pairs (HALF the
+    # rows the old path collected); _cc_driver symmetrizes in numpy and
+    # tolerates duplicate pairs exactly (min-propagation is idempotent).
+    pairs1d = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).persist()
+    m_pairs = pairs1d.count()
     # the ≈16 MB/1M-row rationale assumes numeric ids; string-keyed
     # graphs (curate uids) cost ~10× per row in pandas object columns,
     # so the driver-solve gate shrinks accordingly (round-8 review)
     driver_max = (
         _CC_DRIVER_MAX_EDGES
         if isinstance(
-            edges0.schema["src"].dataType, (T.LongType, T.IntegerType)
+            pairs1d.schema["src"].dataType, (T.LongType, T.IntegerType)
         )
         else _CC_DRIVER_MAX_EDGES // 8
     )
-    if n_edges <= driver_max:
+    if 2 * m_pairs <= driver_max:
         try:
-            return _cc_driver(edges0, max_iterations)
+            return _cc_driver(pairs1d, max_iterations)
         finally:
-            edges0.unpersist()
-    n_part = max(1, math.ceil(n_edges / _CC_EDGES_PER_PARTITION))
-    edges = edges0.repartition(n_part, "src").persist()
+            pairs1d.unpersist()
+    sym = pairs1d.union(
+        pairs1d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # partitions sized from the measured upper bound 2·raw (= exact for the
+    # distinct pairs every LSH generator emits; over-partitioning is the
+    # safe direction for dup-heavy callers)
+    n_part = max(1, math.ceil(2 * m_pairs / _CC_EDGES_PER_PARTITION))
+    edges = sym.distinct().repartition(n_part, "src").persist()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nmin"))
@@ -572,7 +596,7 @@ def connected_components(
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
-        edges0.unpersist()
+        pairs1d.unpersist()
 
 
 def cluster_canonical(

@@ -264,3 +264,40 @@ class TestHotBucketCapChainBoundary:
         assert len(set(lf.values())) == 1 and len(lf) == 40
         assert len(set(lc.values())) <= 4  # only surviving links cluster
         assert len(lc) <= 8  # nearly all members drop to singletons
+
+
+class TestDistributedDriverParity:
+    """The round-8 restructure (raw-pair gate, driver-side symmetrize, no
+    distinct for the driver path) must keep BOTH paths bit-identical. Force
+    the distributed path by shrinking the gate and compare labels on a
+    graph with a chain, a clique, duplicates and an isolated edge."""
+
+    EDGES = (
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]  # diameter-6 chain
+        + [(10, 11), (10, 12), (11, 12)]  # clique
+        + [(20, 21)]  # isolated edge
+        + [(2, 3), (10, 11)]  # duplicate pairs (callers may pass dups)
+    )
+
+    def test_paths_agree(self, spark, monkeypatch):
+        from doc_parser_spark.operators import dedup as D
+
+        pairs = _pairs(spark, self.EDGES)
+        got_driver = _labels(connected_components(pairs))
+        monkeypatch.setattr(D, "_CC_DRIVER_MAX_EDGES", 0)
+        got_dist = _labels(D.connected_components(pairs))
+        expect = {i: 1 for i in range(1, 8)}
+        expect.update({10: 10, 11: 10, 12: 10, 20: 20, 21: 20})
+        assert got_driver == expect
+        assert got_dist == expect
+
+    def test_distributed_string_ids(self, spark, monkeypatch):
+        from doc_parser_spark.operators import dedup as D
+
+        pairs = spark.createDataFrame(
+            [Row(a_id=f"u{a}", b_id=f"u{b}") for a, b in [(1, 2), (2, 3)]],
+            "a_id STRING, b_id STRING",
+        )
+        monkeypatch.setattr(D, "_CC_DRIVER_MAX_EDGES", 0)
+        got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+        assert got == {"u1": "u1", "u2": "u1", "u3": "u1"}
