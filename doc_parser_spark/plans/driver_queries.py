@@ -2476,12 +2476,33 @@ ORACLES["dedup_embedding_lsh"] = ORACLE_DEDUP_EMB_LSH
 # backends themselves are additionally byte-parity-tested against the
 # reference's own 17 office fixtures (tests/test_reference_{docx,xlsx,pptx}).
 # ===========================================================================
+def _kernel_spread(docs: DataFrame) -> DataFrame:
+    """Spread rows before a compute-bound per-row kernel (office zip
+    build+parse, media codec decode). The documents table is a few hundred
+    KB, so the byte-derived parquet split count is ONE — and everything
+    downstream of the first mapInPandas inherits that single task, running
+    the whole per-doc kernel chain on one core (measured: m8 7.3 s,
+    b10 1.4 s single-task walls, ~0 s of it Spark work). Guide §2: the
+    work here is per-ROW compute that byte-based planning cannot see, the
+    exact shape the extract path's routing shuffle already handles. The
+    repartition uses an EXPLICIT count — max(2× the runtime's declared
+    parallelism, the scan's own byte-derived split count, so a genuinely
+    large input keeps its size-derived partitioning) — because AQE's
+    byte-based coalescing would fold these tiny-byte partitions straight
+    back into one task. Keyed on doc_id (deterministic, retry-safe)."""
+    sc = docs.sparkSession.sparkContext
+    n = max(2 * sc.defaultParallelism, docs.rdd.getNumPartitions())
+    return docs.repartition(n, "doc_id")
+
+
 def _office_query(builder) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from doc_parser_spark.operators.office import extract_office_docs
 
-        docs = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        docs = _kernel_spread(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
         )
 
         def gen(batches):
@@ -3085,8 +3106,10 @@ def _media_query(kind: str, builder_name: str, op):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         import doc_parser_spark.sources.synth_media as SM
 
-        docs = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("doc_id")
+        docs = _kernel_spread(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            )
         )
 
         def gen(batches):
