@@ -536,11 +536,27 @@ def connected_components(
     sym = pairs1d.union(
         pairs1d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # partitions sized from the measured upper bound 2·raw (= exact for the
-    # distinct pairs every LSH generator emits; over-partitioning is the
-    # safe direction for dup-heavy callers)
-    n_part = max(1, math.ceil(2 * m_pairs / _CC_EDGES_PER_PARTITION))
-    edges = sym.distinct().repartition(n_part, "src").persist()
+    # The raw count exceeded the gate, but a DUP-HEAVY caller (repeated
+    # pairs — tolerated input) may still have a tiny distinct edge set:
+    # compute the distinct (needed for the distributed rounds anyway, and
+    # its count re-exactifies the partition sizing), and give the driver
+    # solve a second chance on it. _cc_driver symmetrizes whatever it
+    # gets, so feeding it the already-symmetric distinct edges just
+    # doubles the (bounded) numpy edge arrays — min-propagation is
+    # idempotent, output identical. Distinct-pair generators (every LSH
+    # path in this repo) never reach this tier with a small graph, so the
+    # extra count job here is paid only by dup-heavy or genuinely big
+    # inputs — exactly the pre-round-8 cost.
+    edges0 = sym.distinct().persist()
+    n_edges = edges0.count()
+    pairs1d.unpersist()
+    if n_edges <= driver_max:
+        try:
+            return _cc_driver(edges0, max_iterations)
+        finally:
+            edges0.unpersist()
+    n_part = max(1, math.ceil(n_edges / _CC_EDGES_PER_PARTITION))
+    edges = edges0.repartition(n_part, "src").persist()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nmin"))
@@ -596,7 +612,7 @@ def connected_components(
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
-        pairs1d.unpersist()
+        edges0.unpersist()
 
 
 def cluster_canonical(

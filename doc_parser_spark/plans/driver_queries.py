@@ -2485,14 +2485,19 @@ def _kernel_spread(docs: DataFrame) -> DataFrame:
     b10 1.4 s single-task walls, ~0 s of it Spark work). Guide §2: the
     work here is per-ROW compute that byte-based planning cannot see, the
     exact shape the extract path's routing shuffle already handles. The
-    repartition uses an EXPLICIT count — max(2× the runtime's declared
-    parallelism, the scan's own byte-derived split count, so a genuinely
-    large input keeps its size-derived partitioning) — because AQE's
+    repartition fires ONLY when the scan's split count is below 2× the
+    runtime's declared parallelism — a genuinely large input is already
+    well-split and skips the exchange entirely (no payload bytes
+    shuffled for nothing) — and uses an EXPLICIT count because AQE's
     byte-based coalescing would fold these tiny-byte partitions straight
     back into one task. Keyed on doc_id (deterministic, retry-safe)."""
     sc = docs.sparkSession.sparkContext
-    n = max(2 * sc.defaultParallelism, docs.rdd.getNumPartitions())
-    return docs.repartition(n, "doc_id")
+    target = 2 * sc.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        # already well-split (a genuinely large input): adding a full
+        # repartition here would shuffle every payload byte for nothing
+        return docs
+    return docs.repartition(target, "doc_id")
 
 
 def _office_query(builder) -> Callable[[SparkSession, str], DataFrame]:
